@@ -1,0 +1,321 @@
+"""Unified context-aware dynamics-model family.
+
+One implementation covers the reference's whole model zoo (SURVEY.md §2.1):
+
+- **Vanilla** (``dynamics/mlp_dynamics.py``): ``n_members=1, probabilistic=
+  False, context='none'`` — a single deterministic MLP predicting Δobs.
+- **Stacked** baseline (paper §5): ``context='stacked'`` — raw past-K window
+  concatenated into the model input, no encoder.
+- **PE-TS ensemble** (``dynamics/mlp_dynamics_ensemble.py``): ``n_members=5,
+  probabilistic=True`` — mean+logvar heads, Gaussian NLL, learned-but-bounded
+  logvars and bootstrap minibatches per member (PETS conventions).
+- **CaDM** (the contribution, arXiv:2005.06800 §3): ``context='encoder'`` —
+  a shared context encoder maps the past-K (Δobs, action) window to latent z;
+  member-stacked forward heads predict Δobs over the next M future steps with
+  the SAME z, and a backward head predicts the previous observation; joint
+  loss L_fwd + β·L_bwd (paper eq. 2–4).
+- **CaDM + PE-TS**: encoder + probabilistic ensemble together.
+
+TPU design: members are a leading axis vmapped over raw-pytree MLPs (batched
+matmuls on the MXU — no python loop over members); normalization stats are
+explicit state recomputed from the replay buffer each fit (the reference's
+running-stats contract, SURVEY §3.3); everything is pure and jit-safe.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from cadm_tpu.core.types import Array, PyTree
+from cadm_tpu.models.nets import mlp_apply, mlp_init
+
+
+@dataclasses.dataclass(frozen=True)
+class DynamicsConfig:
+    obs_dim: int
+    act_dim: int
+    hidden: Tuple[int, ...] = (200, 200, 200, 200)
+    n_members: int = 1
+    probabilistic: bool = False
+    context: str = "none"  # 'none' | 'stacked' | 'encoder'
+    z_dim: int = 10
+    history_k: int = 10
+    future_m: int = 10
+    encoder_hidden: Tuple[int, ...] = (256, 128)
+    backward: bool = True          # train the backward head (CaDM only)
+    beta_backward: float = 0.5     # β in L_fwd + β·L_bwd
+    lr: float = 1e-3
+    grad_clip: float = 10.0
+    logvar_penalty: float = 0.01   # PETS bound-tightness penalty
+
+    @property
+    def hist_dim(self) -> int:
+        return self.history_k * (self.obs_dim + self.act_dim)
+
+    @property
+    def context_dim(self) -> int:
+        if self.context == "encoder":
+            return self.z_dim
+        if self.context == "stacked":
+            return self.hist_dim
+        return 0
+
+    @property
+    def head_in_dim(self) -> int:
+        return self.obs_dim + self.act_dim + self.context_dim
+
+    @property
+    def head_out_dim(self) -> int:
+        return self.obs_dim * (2 if self.probabilistic else 1)
+
+
+@struct.dataclass
+class NormStats:
+    obs_mean: Array
+    obs_std: Array
+    act_mean: Array
+    act_std: Array
+    dobs_mean: Array
+    dobs_std: Array
+
+    @staticmethod
+    def identity(obs_dim: int, act_dim: int) -> "NormStats":
+        return NormStats(
+            obs_mean=jnp.zeros((obs_dim,)),
+            obs_std=jnp.ones((obs_dim,)),
+            act_mean=jnp.zeros((act_dim,)),
+            act_std=jnp.ones((act_dim,)),
+            dobs_mean=jnp.zeros((obs_dim,)),
+            dobs_std=jnp.ones((obs_dim,)),
+        )
+
+
+@struct.dataclass
+class DynamicsState:
+    params: PyTree
+    opt_state: PyTree
+    norm: NormStats
+    updates: Array
+
+
+@struct.dataclass
+class SegmentBatch:
+    """A training minibatch of trajectory segments (SURVEY §3.3).
+
+    History window (K transitions before t) feeds the context path; the M
+    future transitions share that context in the loss (paper eq. 2–4).
+    Leaves may carry extra leading axes (e.g. a member axis for bootstrap).
+    """
+
+    hist_dobs: Array   # (..., K, obs_dim)
+    hist_act: Array    # (..., K, act_dim)
+    hist_valid: Array  # (..., K)
+    obs: Array         # (..., M, obs_dim)
+    act: Array         # (..., M, act_dim)
+    next_obs: Array    # (..., M, obs_dim)
+    valid: Array       # (..., M)
+
+
+class Dynamics:
+    """Functional dynamics-model API shared by planners and trainers."""
+
+    def __init__(self, config: DynamicsConfig):
+        self.cfg = config
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(config.grad_clip),
+            optax.adam(config.lr),
+        )
+
+    # ------------------------------------------------------------- init --
+    def init_params(self, rng: Array) -> PyTree:
+        c = self.cfg
+        r_enc, r_fwd, r_bwd = jax.random.split(rng, 3)
+        params = {}
+        if c.context == "encoder":
+            params["encoder"] = mlp_init(
+                r_enc, [c.hist_dim, *c.encoder_hidden, c.z_dim]
+            )
+        head_sizes = [c.head_in_dim, *c.hidden, c.head_out_dim]
+        params["fwd"] = jax.vmap(lambda k: mlp_init(k, head_sizes))(
+            jax.random.split(r_fwd, c.n_members)
+        )
+        if c.context == "encoder" and c.backward:
+            params["bwd"] = jax.vmap(lambda k: mlp_init(k, head_sizes))(
+                jax.random.split(r_bwd, c.n_members)
+            )
+        if c.probabilistic:
+            params["max_logvar"] = jnp.full((c.obs_dim,), 0.5)
+            params["min_logvar"] = jnp.full((c.obs_dim,), -10.0)
+        return params
+
+    def init_state(self, rng: Array) -> DynamicsState:
+        params = self.init_params(rng)
+        return DynamicsState(
+            params=params,
+            opt_state=self.tx.init(params),
+            norm=NormStats.identity(self.cfg.obs_dim, self.cfg.act_dim),
+            updates=jnp.zeros((), jnp.int32),
+        )
+
+    # ---------------------------------------------------------- context --
+    def get_context(
+        self,
+        params: PyTree,
+        norm: NormStats,
+        hist_dobs: Array,
+        hist_act: Array,
+        hist_valid: Array,
+    ) -> Array:
+        """Latent context from the past-K window. Shape (..., context_dim).
+
+        For ``context='none'`` returns a zero-width array so downstream
+        concatenation is shape-polymorphic without branching.
+        """
+        c = self.cfg
+        nd = (hist_dobs - norm.dobs_mean) / norm.dobs_std
+        na = (hist_act - norm.act_mean) / norm.act_std
+        v = hist_valid[..., None]
+        flat = jnp.concatenate(
+            [
+                (nd * v).reshape(*hist_dobs.shape[:-2], -1),
+                (na * v).reshape(*hist_act.shape[:-2], -1),
+            ],
+            axis=-1,
+        )
+        if c.context == "encoder":
+            return mlp_apply(params["encoder"], flat)
+        if c.context == "stacked":
+            return flat
+        return flat[..., :0]
+
+    # ---------------------------------------------------------- predict --
+    def _head_out(
+        self, head_params: PyTree, params: PyTree, norm: NormStats,
+        x_in: Array, act: Array, z: Array,
+    ) -> Tuple[Array, Optional[Array]]:
+        """Normalized-delta prediction (mean, logvar|None) from one head."""
+        c = self.cfg
+        nx = (x_in - norm.obs_mean) / norm.obs_std
+        na = (act - norm.act_mean) / norm.act_std
+        inp = jnp.concatenate([nx, na, z], axis=-1)
+        out = mlp_apply(head_params, inp)
+        if not c.probabilistic:
+            return out, None
+        mean, logvar = jnp.split(out, 2, axis=-1)
+        # PETS soft bounds: keep logvar inside learned [min, max].
+        logvar = params["max_logvar"] - jax.nn.softplus(
+            params["max_logvar"] - logvar
+        )
+        logvar = params["min_logvar"] + jax.nn.softplus(
+            logvar - params["min_logvar"]
+        )
+        return mean, logvar
+
+    def predict(
+        self,
+        params: PyTree,
+        norm: NormStats,
+        member_fwd: PyTree,
+        obs: Array,
+        act: Array,
+        z: Array,
+        rng: Optional[Array] = None,
+    ) -> Array:
+        """Next-obs prediction through ONE member's forward head.
+
+        ``member_fwd`` is one slice of ``params['fwd']`` (callers vmap over
+        the member axis for TS-ensemble propagation). With ``rng`` and a
+        probabilistic model, samples from the predicted Gaussian (TS∞);
+        otherwise returns the mean.
+        """
+        mean, logvar = self._head_out(member_fwd, params, norm, obs, act, z)
+        if logvar is not None and rng is not None:
+            mean = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
+                rng, mean.shape
+            )
+        dobs = norm.dobs_mean + norm.dobs_std * mean
+        return obs + dobs
+
+    # ------------------------------------------------------------- loss --
+    def _nll(self, mean: Array, logvar: Optional[Array], target: Array) -> Array:
+        if logvar is None:
+            return jnp.sum((mean - target) ** 2, axis=-1)
+        inv_var = jnp.exp(-logvar)
+        return jnp.sum((mean - target) ** 2 * inv_var + logvar, axis=-1)
+
+    def loss(
+        self, params: PyTree, norm: NormStats, batch: SegmentBatch
+    ) -> Tuple[Array, dict]:
+        """Joint CaDM loss over member-indexed segment batches.
+
+        ``batch`` leaves have shape (n_members, B, ...). The context z is
+        computed once per segment and shared across all M future steps
+        (paper eq. 2: the window τ_{t-K:t-1} conditions predictions at
+        t..t+M-1). Backward head predicts the previous observation via the
+        negated normalized delta (paper eq. 3).
+        """
+        c = self.cfg
+
+        def member_loss(fwd_p, bwd_p, mb: SegmentBatch):
+            z = self.get_context(
+                params, norm, mb.hist_dobs, mb.hist_act, mb.hist_valid
+            )  # (B, ctx)
+            z_m = jnp.broadcast_to(
+                z[:, None, :], (*mb.obs.shape[:-1], z.shape[-1])
+            )
+            target = (mb.next_obs - mb.obs - norm.dobs_mean) / norm.dobs_std
+            f_mean, f_logvar = self._head_out(
+                fwd_p, params, norm, mb.obs, mb.act, z_m
+            )
+            per_step = self._nll(f_mean, f_logvar, target)  # (B, M)
+            if bwd_p is not None:
+                b_mean, b_logvar = self._head_out(
+                    bwd_p, params, norm, mb.next_obs, mb.act, z_m
+                )
+                per_step = per_step + c.beta_backward * self._nll(
+                    b_mean, b_logvar, -target
+                )
+            w = mb.valid / (jnp.sum(mb.valid) + 1e-8)
+            return jnp.sum(per_step * w)
+
+        bwd = params.get("bwd")
+        if bwd is not None:
+            losses = jax.vmap(member_loss)(params["fwd"], bwd, batch)
+        else:
+            losses = jax.vmap(lambda f, mb: member_loss(f, None, mb))(
+                params["fwd"], batch
+            )
+        total = jnp.mean(losses)
+        metrics = {"model_loss": total}
+        if c.probabilistic:
+            bound_pen = c.logvar_penalty * (
+                jnp.sum(params["max_logvar"]) - jnp.sum(params["min_logvar"])
+            )
+            total = total + bound_pen
+            metrics["logvar_bound_penalty"] = bound_pen
+        return total, metrics
+
+    # ----------------------------------------------------------- update --
+    def update(
+        self, state: DynamicsState, batch: SegmentBatch
+    ) -> Tuple[DynamicsState, dict]:
+        """One Adam step on a member-indexed minibatch (jit/scan-safe)."""
+        (loss, metrics), grads = jax.value_and_grad(self.loss, has_aux=True)(
+            state.params, state.norm, batch
+        )
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            DynamicsState(
+                params=params,
+                opt_state=opt_state,
+                norm=state.norm,
+                updates=state.updates + 1,
+            ),
+            metrics,
+        )

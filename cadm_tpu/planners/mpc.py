@@ -1,0 +1,128 @@
+"""MPC planners: random shooting (RS) and cross-entropy method (CEM).
+
+Reference semantics (SURVEY.md §2.1 "MPC controller"/"CEM planner", §3.4):
+sample ``n_candidates`` action sequences, roll them ``horizon`` steps through
+the LEARNED dynamics model (threading the CaDM context z, frozen for the whole
+plan), score with the env's batched observation-only reward, act with the
+first action of the best sequence — CEM iteratively refits a Gaussian on the
+top elites (PETS-style).
+
+TPU design: the whole planner is a ``lax.scan`` (model steps) inside a
+``lax.scan``/``fori_loop`` (CEM iterations), vmapped over envs — planning for
+thousands of envs is ONE fused XLA program; candidates × members form the
+batch axis feeding the MXU (SURVEY §3.4: the ≥100k rollouts/sec target).
+Ensemble propagation is TS∞ with one particle per member: every candidate is
+evaluated under all members and scored by the mean return (PETS TS variant
+that keeps shapes static and member-blocked).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from cadm_tpu.core.types import Array, PyTree
+from cadm_tpu.models.dynamics import Dynamics, DynamicsState, NormStats
+
+RewardFn = Callable[[Array, Array, Array], Array]
+
+
+@dataclasses.dataclass(frozen=True)
+class PlannerConfig:
+    kind: str = "cem"          # 'rs' | 'cem'
+    horizon: int = 30
+    n_candidates: int = 200
+    cem_iters: int = 5
+    cem_elites: int = 20
+    cem_alpha: float = 0.1     # momentum on (mu, sigma) across CEM iterations
+    init_sigma: float = 0.5
+
+
+class MPCPlanner:
+    def __init__(self, config: PlannerConfig, model: Dynamics, reward_fn: RewardFn, act_dim: int):
+        self.cfg = config
+        self.model = model
+        self.reward_fn = reward_fn
+        self.act_dim = act_dim
+
+    # ------------------------------------------------------------ rollout --
+    def _evaluate(
+        self,
+        params: PyTree,
+        norm: NormStats,
+        obs0: Array,      # (obs_dim,)
+        z: Array,         # (ctx_dim,)
+        actions: Array,   # (C, H, act_dim)
+        rng: Array,
+    ) -> Array:
+        """Return of each candidate sequence, averaged over ensemble members."""
+        n = self.model.cfg.n_members
+        c = actions.shape[0]
+        obs = jnp.broadcast_to(obs0, (n, c, obs0.shape[-1]))
+        z_b = jnp.broadcast_to(z, (n, c, z.shape[-1]))
+
+        def step(carry, a_t):
+            obs, rng = carry
+            rng, k = jax.random.split(rng)
+            keys = jax.random.split(k, n)
+            a_b = jnp.broadcast_to(a_t, (n, c, a_t.shape[-1]))
+            next_obs = jax.vmap(
+                lambda fwd_m, o, zz, kk: self.model.predict(
+                    params, norm, fwd_m, o, a_t, zz, kk
+                )
+            )(params["fwd"], obs, z_b, keys)
+            r = self.reward_fn(obs, a_b, next_obs)  # (n, C)
+            return (next_obs, rng), r
+
+        (_, _), rewards = jax.lax.scan(
+            step, (obs, rng), jnp.swapaxes(actions, 0, 1)
+        )
+        return rewards.sum(axis=0).mean(axis=0)  # (C,)
+
+    # ---------------------------------------------------------------- act --
+    def _act_single(
+        self, params: PyTree, norm: NormStats, obs: Array, z: Array, rng: Array
+    ) -> Array:
+        cfg = self.cfg
+        h, a_dim, c = cfg.horizon, self.act_dim, cfg.n_candidates
+        if cfg.kind == "rs":
+            r_a, r_e = jax.random.split(rng)
+            actions = jax.random.uniform(
+                r_a, (c, h, a_dim), minval=-1.0, maxval=1.0
+            )
+            returns = self._evaluate(params, norm, obs, z, actions, r_e)
+            best = jnp.argmax(returns)
+            return actions[best, 0]
+
+        # --- CEM ---
+        mu0 = jnp.zeros((h, a_dim))
+        sigma0 = jnp.full((h, a_dim), cfg.init_sigma)
+
+        def cem_iter(carry, k):
+            mu, sigma = carry
+            r_s, r_e = jax.random.split(k)
+            eps = jax.random.truncated_normal(r_s, -2.0, 2.0, (c, h, a_dim))
+            actions = jnp.clip(mu + sigma * eps, -1.0, 1.0)
+            returns = self._evaluate(params, norm, obs, z, actions, r_e)
+            _, elite_idx = jax.lax.top_k(returns, cfg.cem_elites)
+            elites = actions[elite_idx]
+            new_mu = elites.mean(axis=0)
+            new_sigma = elites.std(axis=0)
+            mu = cfg.cem_alpha * mu + (1 - cfg.cem_alpha) * new_mu
+            sigma = cfg.cem_alpha * sigma + (1 - cfg.cem_alpha) * new_sigma
+            return (mu, sigma), None
+
+        keys = jax.random.split(rng, cfg.cem_iters)
+        (mu, _), _ = jax.lax.scan(cem_iter, (mu0, sigma0), keys)
+        return mu[0]
+
+    def act(
+        self, state: DynamicsState, obs: Array, z: Array, rng: Array
+    ) -> Array:
+        """Plan for a batch of envs: obs (E, obs_dim), z (E, ctx) → (E, act_dim)."""
+        keys = jax.random.split(rng, obs.shape[0])
+        return jax.vmap(
+            lambda o, zz, k: self._act_single(state.params, state.norm, o, zz, k)
+        )(obs, z, keys)

@@ -1,0 +1,245 @@
+"""Model-based trainer: the reference's master loop, fused on-TPU.
+
+Reference call stack (SURVEY.md §3.1–3.4): for each outer iteration —
+collect rollouts with MPC-through-the-model (uniform-random actions on the
+first iteration to bootstrap the dataset), aggregate into the dataset, fit
+the dynamics model, evaluate on shifted dynamics ranges, log and snapshot.
+
+TPU design: the three hot stacks collapse into TWO jitted programs per
+iteration — ``collect`` (one ``lax.scan`` over time with the CEM planner,
+env physics, history ring and replay-buffer append all inside; vmapped over
+envs) and ``fit`` (norm-stat recompute + ``lax.scan`` over Adam updates with
+rejection-free segment sampling). The python outer loop only orchestrates
+and logs once per iteration (SURVEY §5 "metrics flushed once per outer itr").
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cadm_tpu.core.types import Array, History
+from cadm_tpu.envs.base import Env
+from cadm_tpu.models.dynamics import Dynamics, DynamicsState, NormStats
+from cadm_tpu.planners.mpc import MPCPlanner
+from cadm_tpu.train.buffer import ReplayBuffer, masked_mean_std
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainerConfig:
+    n_envs: int = 8
+    steps_per_itr: int = 200        # env steps per env per outer iteration
+    n_itr: int = 10
+    model_updates_per_itr: int = 200
+    batch_size: int = 128
+    buffer_capacity: int = 4000     # per-env time columns
+    random_first_itr: bool = True
+    eval_envs: int = 8
+    eval_modes: Tuple[int, ...] = (0, 1, 2)
+
+
+class MBTrainer:
+    def __init__(
+        self,
+        env: Env,
+        model: Dynamics,
+        planner: MPCPlanner,
+        config: TrainerConfig,
+    ):
+        self.env = env
+        self.model = model
+        self.planner = planner
+        self.cfg = config
+        k = model.cfg.history_k
+        self._collect_random = jax.jit(
+            lambda *a: self._collect(*a, random_actions=True)
+        )
+        self._collect_plan = jax.jit(
+            lambda *a: self._collect(*a, random_actions=False)
+        )
+        self._fit = jax.jit(self._fit_impl)
+        self._evals = {
+            mode: jax.jit(lambda rng, st, m=mode: self._eval_impl(rng, st, m))
+            for mode in config.eval_modes
+        }
+
+    # ------------------------------------------------------------- init --
+    def init(self, rng: Array):
+        r_env, r_model = jax.random.split(rng)
+        env_states = jax.vmap(self.env.reset)(
+            jax.random.split(r_env, self.cfg.n_envs)
+        )
+        hists = jax.vmap(
+            lambda _: History.zeros(
+                self.model.cfg.history_k, self.env.obs_dim, self.env.act_dim
+            )
+        )(jnp.arange(self.cfg.n_envs))
+        buffer = ReplayBuffer.create(
+            self.cfg.n_envs,
+            self.cfg.buffer_capacity,
+            self.env.obs_dim,
+            self.env.act_dim,
+        )
+        dyn_state = self.model.init_state(r_model)
+        return env_states, hists, buffer, dyn_state
+
+    # ---------------------------------------------------------- collect --
+    def _collect(self, rng, env_states, hists, buffer, dyn_state, random_actions):
+        env, model, cfg = self.env, self.model, self.cfg
+
+        def step(carry, k):
+            env_states, hists, buffer, ret_acc = carry
+            k_act, k_step = jax.random.split(k)
+            if random_actions:
+                actions = jax.random.uniform(
+                    k_act, (cfg.n_envs, env.act_dim), minval=-1.0, maxval=1.0
+                )
+            else:
+                z = model.get_context(
+                    dyn_state.params,
+                    dyn_state.norm,
+                    hists.dobs,
+                    hists.act,
+                    hists.valid,
+                )
+                actions = self.planner.act(dyn_state, env_states.obs, z, k_act)
+            prev_obs = env_states.obs
+            ep_step = env_states.t
+            next_states, obs, reward, done = jax.vmap(env.step)(
+                env_states, actions
+            )
+            buffer = buffer.append(prev_obs, actions, obs, done, ep_step)
+            pushed = jax.vmap(History.push)(hists, obs - prev_obs, actions)
+            # Auto-reset wipes the context window (new episode, new params).
+            hists = jax.tree.map(
+                lambda new: jnp.where(
+                    done.reshape((-1,) + (1,) * (new.ndim - 1)),
+                    jnp.zeros_like(new),
+                    new,
+                ),
+                pushed,
+            )
+            ret_acc = ret_acc + reward
+            ep_return = jnp.where(done, ret_acc, jnp.nan)
+            ret_acc = jnp.where(done, 0.0, ret_acc)
+            return (next_states, hists, buffer, ret_acc), (ep_return, reward)
+
+        keys = jax.random.split(rng, cfg.steps_per_itr)
+        (env_states, hists, buffer, _), (ep_returns, rewards) = jax.lax.scan(
+            step, (env_states, hists, buffer, jnp.zeros(cfg.n_envs)), keys
+        )
+        finished = jnp.isfinite(ep_returns)
+        mean_return = jnp.where(
+            finished.sum() > 0,
+            jnp.nansum(jnp.where(finished, ep_returns, 0.0))
+            / jnp.maximum(finished.sum(), 1),
+            jnp.nan,
+        )
+        metrics = {
+            "collect/mean_episode_return": mean_return,
+            "collect/mean_step_reward": rewards.mean(),
+            "collect/episodes": finished.sum(),
+        }
+        return env_states, hists, buffer, metrics
+
+    # -------------------------------------------------------------- fit --
+    def _fit_impl(self, rng, buffer: ReplayBuffer, dyn_state: DynamicsState):
+        model, cfg = self.model, self.cfg
+        obs, act, dobs, mask = buffer.norm_inputs()
+        om, os_ = masked_mean_std(obs, mask)
+        am, as_ = masked_mean_std(act, mask)
+        dm, ds = masked_mean_std(dobs, mask)
+        dyn_state = dataclasses.replace(
+            dyn_state,
+            norm=NormStats(om, os_, am, as_, dm, ds),
+        )
+
+        def upd(st, k):
+            batch = buffer.sample_segments(
+                k,
+                (model.cfg.n_members, cfg.batch_size),
+                model.cfg.history_k,
+                model.cfg.future_m,
+            )
+            st, metrics = model.update(st, batch)
+            return st, metrics["model_loss"]
+
+        keys = jax.random.split(rng, cfg.model_updates_per_itr)
+        dyn_state, losses = jax.lax.scan(upd, dyn_state, keys)
+        return dyn_state, {
+            "fit/model_loss_first": losses[0],
+            "fit/model_loss_last": losses[-1],
+            "fit/model_loss_mean": losses.mean(),
+        }
+
+    # ------------------------------------------------------------- eval --
+    def _eval_impl(self, rng, dyn_state: DynamicsState, mode: int):
+        """One full planner-driven episode per eval env on a dynamics range."""
+        env, model, cfg = self.env, self.model, self.cfg
+        r_reset, r_run = jax.random.split(rng)
+        states = jax.vmap(lambda k: env.reset(k, mode))(
+            jax.random.split(r_reset, cfg.eval_envs)
+        )
+        hists = jax.vmap(
+            lambda _: History.zeros(
+                model.cfg.history_k, env.obs_dim, env.act_dim
+            )
+        )(jnp.arange(cfg.eval_envs))
+
+        def step(carry, k):
+            states, hists, ret, alive = carry
+            z = model.get_context(
+                dyn_state.params, dyn_state.norm,
+                hists.dobs, hists.act, hists.valid,
+            )
+            actions = self.planner.act(dyn_state, states.obs, z, k)
+            prev_obs = states.obs
+            next_states, obs, reward, done = jax.vmap(
+                lambda s, a: env.step(s, a, mode)
+            )(states, actions)
+            hists = jax.vmap(History.push)(hists, obs - prev_obs, actions)
+            # accumulate a single episode per env (stop at first done)
+            ret = ret + reward * alive
+            alive = alive * (1.0 - done.astype(jnp.float32))
+            return (next_states, hists, ret, alive), done
+
+        keys = jax.random.split(r_run, env.horizon)
+        (_, _, returns, _), _ = jax.lax.scan(
+            step,
+            (states, hists, jnp.zeros(cfg.eval_envs), jnp.ones(cfg.eval_envs)),
+            keys,
+        )
+        return returns
+
+    # ------------------------------------------------------------ train --
+    def train(self, rng: Array, logger=None, checkpointer=None):
+        """Run the full outer loop; returns final (dyn_state, metrics_history)."""
+        r_init, rng = jax.random.split(rng)
+        env_states, hists, buffer, dyn_state = self.init(r_init)
+        history = []
+        for itr in range(self.cfg.n_itr):
+            rng, k_col, k_fit, k_eval = jax.random.split(rng, 4)
+            use_random = self.cfg.random_first_itr and itr == 0
+            collect = self._collect_random if use_random else self._collect_plan
+            env_states, hists, buffer, col_metrics = collect(
+                k_col, env_states, hists, buffer, dyn_state
+            )
+            dyn_state, fit_metrics = self._fit(k_fit, buffer, dyn_state)
+            metrics = {"itr": itr, **col_metrics, **fit_metrics}
+            for mode, fn in self._evals.items():
+                returns = fn(k_eval, dyn_state)
+                metrics[f"eval/return_mode{mode}"] = returns.mean()
+            metrics = {
+                k: (float(v) if hasattr(v, "item") else v)
+                for k, v in metrics.items()
+            }
+            history.append(metrics)
+            if logger is not None:
+                for k, v in metrics.items():
+                    logger.logkv(k, v)
+                logger.dumpkvs()
+            if checkpointer is not None:
+                checkpointer.save(itr, dyn_state)
+        return dyn_state, history

@@ -1,0 +1,157 @@
+"""Dynamics-model zoo tests (SURVEY.md §4.3).
+
+Checks: loss decreases on a synthetic linear system for every model variant;
+the CaDM context encoder recovers a hidden per-trajectory parameter (the
+paper's probing analysis, arXiv:2005.06800 §5.3); probabilistic heads respect
+logvar bounds.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cadm_tpu.models.dynamics import (
+    Dynamics,
+    DynamicsConfig,
+    NormStats,
+    SegmentBatch,
+)
+
+OBS, ACT, K, M = 3, 2, 4, 3
+
+
+def synthetic_batch(rng, n, a_scale=None):
+    """Segments from x' = x + 0.5·(a_scale ⊙ u)·B: hidden scale per segment.
+
+    The hidden per-trajectory action gain spans [0.25, 2.0], so a model
+    without context pays a large irreducible error — the context path has a
+    strong incentive to infer it from the history window (the CaDM premise).
+    """
+    r1, r2, r3 = jax.random.split(rng, 3)
+    if a_scale is None:
+        a_scale = jax.random.uniform(r1, (n, 1, 1), minval=0.25, maxval=2.0)
+    B = jax.random.normal(r2, (OBS, ACT)) * 0.0 + jnp.eye(OBS, ACT)
+
+    def gen(key, scale):
+        ko, ka = jax.random.split(key)
+        obs0 = jax.random.normal(ko, (OBS,))
+        acts = jax.random.uniform(ka, (K + M, ACT), minval=-1, maxval=1)
+
+        def step(x, u):
+            x2 = x + 0.5 * (scale[0] * u) @ B.T
+            return x2, (x, u, x2)
+
+        _, (xs, us, x2s) = jax.lax.scan(step, obs0, acts)
+        return xs, us, x2s
+
+    keys = jax.random.split(r3, n)
+    xs, us, x2s = jax.vmap(gen)(keys, a_scale)
+    return (
+        SegmentBatch(
+            hist_dobs=x2s[:, :K] - xs[:, :K],
+            hist_act=us[:, :K],
+            hist_valid=jnp.ones((n, K)),
+            obs=xs[:, K:],
+            act=us[:, K:],
+            next_obs=x2s[:, K:],
+            valid=jnp.ones((n, M)),
+        ),
+        a_scale[:, 0, 0],
+    )
+
+
+VARIANTS = {
+    "vanilla": dict(),
+    "stacked": dict(context="stacked"),
+    "cadm": dict(context="encoder"),
+    "pets": dict(n_members=3, probabilistic=True),
+    "cadm_pets": dict(context="encoder", n_members=3, probabilistic=True),
+}
+
+
+@pytest.mark.parametrize("variant", list(VARIANTS))
+def test_loss_decreases(variant):
+    cfg = DynamicsConfig(
+        obs_dim=OBS, act_dim=ACT, hidden=(64, 64), history_k=K, future_m=M,
+        encoder_hidden=(32,), z_dim=4, lr=3e-3, **VARIANTS[variant],
+    )
+    model = Dynamics(cfg)
+    state = model.init_state(jax.random.key(0))
+
+    upd = jax.jit(model.update)
+    gen = jax.jit(lambda k: synthetic_batch(k, 64)[0])
+
+    first_loss = None
+    state_n = state
+    for i in range(60):
+        b = gen(jax.random.key(i + 1))
+        mb = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (cfg.n_members, *x.shape)), b
+        )
+        state_n, metrics = upd(state_n, mb)
+        if first_loss is None:
+            first_loss = float(metrics["model_loss"])
+    final = float(metrics["model_loss"])
+    assert final < first_loss * 0.7, (variant, first_loss, final)
+
+
+def test_context_encoder_recovers_hidden_param():
+    cfg = DynamicsConfig(
+        obs_dim=OBS, act_dim=ACT, hidden=(64, 64), history_k=K, future_m=M,
+        encoder_hidden=(64,), z_dim=4, context="encoder", lr=3e-3,
+    )
+    model = Dynamics(cfg)
+    state = model.init_state(jax.random.key(0))
+    upd = jax.jit(model.update)
+    gen = jax.jit(lambda k: synthetic_batch(k, 128)[0])
+    for i in range(300):
+        mb = jax.tree.map(lambda x: x[None], gen(jax.random.key(i)))
+        state, _ = upd(state, mb)
+
+    # Probe: z should linearly decode the hidden action scale.
+    b, scales = synthetic_batch(jax.random.key(9999), 512)
+    z = model.get_context(
+        state.params, state.norm, b.hist_dobs, b.hist_act, b.hist_valid
+    )
+    Z = np.c_[np.asarray(z), np.ones(len(scales))]
+    y = np.asarray(scales)
+    coef, *_ = np.linalg.lstsq(Z, y, rcond=None)
+    pred = Z @ coef
+    r2 = 1 - ((pred - y) ** 2).sum() / ((y - y.mean()) ** 2).sum()
+    assert r2 > 0.5, r2
+
+
+def test_probabilistic_logvar_bounds():
+    cfg = DynamicsConfig(
+        obs_dim=OBS, act_dim=ACT, hidden=(32,), probabilistic=True, n_members=2
+    )
+    model = Dynamics(cfg)
+    params = model.init_params(jax.random.key(0))
+    norm = NormStats.identity(OBS, ACT)
+    obs = jnp.zeros((5, OBS))
+    act = jnp.zeros((5, ACT))
+    z = jnp.zeros((5, 0))
+    mean, logvar = model._head_out(
+        jax.tree.map(lambda x: x[0], params["fwd"]), params, norm, obs, act, z
+    )
+    assert mean.shape == (5, OBS)
+    assert bool((logvar <= params["max_logvar"] + 1e-4).all())
+    assert bool((logvar >= params["min_logvar"] - 1e-4).all())
+
+
+def test_predict_deterministic_vs_sampled():
+    cfg = DynamicsConfig(
+        obs_dim=OBS, act_dim=ACT, hidden=(32,), probabilistic=True, n_members=1
+    )
+    model = Dynamics(cfg)
+    params = model.init_params(jax.random.key(0))
+    norm = NormStats.identity(OBS, ACT)
+    fwd0 = jax.tree.map(lambda x: x[0], params["fwd"])
+    obs, act, z = jnp.ones((OBS,)), jnp.ones((ACT,)), jnp.zeros((0,))
+    det = model.predict(params, norm, fwd0, obs, act, z, rng=None)
+    s1 = model.predict(params, norm, fwd0, obs, act, z, jax.random.key(1))
+    s2 = model.predict(params, norm, fwd0, obs, act, z, jax.random.key(2))
+    assert det.shape == (OBS,)
+    assert not np.allclose(np.asarray(s1), np.asarray(s2))
