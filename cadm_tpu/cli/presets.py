@@ -1,0 +1,156 @@
+"""Named experiment presets: the five driver configs (BASELINE.json configs,
+SURVEY.md §5 config row) plus the reference's full flag surface as a
+dataclass.
+
+The reference assembles argparse flags into kwargs dicts per run script
+(SURVEY §2.1 "Run scripts / CLI"); here a single ``ExperimentConfig``
+carries the same knobs — env/dataset name, model class (vanilla/ensemble
+× ±CaDM/stacked), planner kind (RS/CEM), candidates, horizon, K, M, β,
+ensemble size, hidden sizes, lr, updates/itr, n_itr, rollout sizes, eval
+ranges, seed — and builds the component stack.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+from cadm_tpu.envs import make
+from cadm_tpu.models.dynamics import Dynamics, DynamicsConfig
+from cadm_tpu.planners.mpc import MPCPlanner, PlannerConfig
+from cadm_tpu.train.mb_trainer import MBTrainer, TrainerConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    # env
+    env: str = "cartpole"
+    n_envs: int = 16
+    # model
+    model: str = "cadm"           # vanilla | stacked | cadm
+    ensemble: int = 1             # >1 = PE-TS-style probabilistic ensemble
+    probabilistic: bool = False
+    hidden: Tuple[int, ...] = (200, 200, 200, 200)
+    z_dim: int = 10
+    history_k: int = 10
+    future_m: int = 10
+    beta_backward: float = 0.5
+    lr: float = 1e-3
+    # planner
+    planner: str = "cem"          # rs | cem
+    n_candidates: int = 200
+    plan_horizon: int = 30
+    cem_iters: int = 5
+    cem_elites: int = 20
+    # training loop
+    n_itr: int = 20
+    steps_per_itr: int = 200
+    model_updates_per_itr: int = 500
+    batch_size: int = 128
+    buffer_capacity: int = 8000
+    eval_envs: int = 16
+    eval_modes: Tuple[int, ...] = (0, 1, 2)
+    seed: int = 0
+
+    def build(self, mesh=None):
+        if self.n_envs < 1 or self.eval_envs < 1:
+            raise ValueError(
+                f"n_envs/eval_envs must be >= 1, got {self.n_envs}/{self.eval_envs}"
+            )
+        env = make(self.env)
+        context = {"vanilla": "none", "stacked": "stacked", "cadm": "encoder"}[
+            self.model
+        ]
+        model = Dynamics(
+            DynamicsConfig(
+                obs_dim=env.obs_dim,
+                act_dim=env.act_dim,
+                hidden=self.hidden,
+                n_members=self.ensemble,
+                probabilistic=self.probabilistic or self.ensemble > 1,
+                context=context,
+                z_dim=self.z_dim,
+                history_k=self.history_k,
+                future_m=self.future_m,
+                beta_backward=self.beta_backward,
+                lr=self.lr,
+            )
+        )
+        planner = MPCPlanner(
+            PlannerConfig(
+                kind=self.planner,
+                horizon=self.plan_horizon,
+                n_candidates=self.n_candidates,
+                cem_iters=self.cem_iters,
+                cem_elites=self.cem_elites,
+            ),
+            model,
+            env.reward,
+            env.act_dim,
+        )
+        trainer = MBTrainer(
+            env,
+            model,
+            planner,
+            TrainerConfig(
+                n_envs=self.n_envs,
+                steps_per_itr=self.steps_per_itr,
+                n_itr=self.n_itr,
+                model_updates_per_itr=self.model_updates_per_itr,
+                batch_size=self.batch_size,
+                buffer_capacity=self.buffer_capacity,
+                eval_envs=self.eval_envs,
+                eval_modes=self.eval_modes,
+            ),
+            mesh=mesh,
+        )
+        return env, model, planner, trainer
+
+
+# --- the five driver configs (BASELINE.json "configs" [B:7–11]) -------------
+PRESETS = {
+    # CartPole, randomized force/length, vanilla DM + RS-MPC (CPU-runnable)
+    "cartpole_vanilla_rs": ExperimentConfig(
+        env="cartpole", model="vanilla", planner="rs",
+        n_envs=8, n_candidates=500, plan_horizon=20, history_k=10, future_m=5,
+        steps_per_itr=210, n_itr=15,
+    ),
+    # Pendulum, randomized mass/length, CaDM encoder + CEM-MPC
+    "pendulum_cadm_cem": ExperimentConfig(
+        env="pendulum", model="cadm", planner="cem",
+        n_envs=8, n_candidates=200, plan_horizon=20,
+        steps_per_itr=210, n_itr=15,
+    ),
+    # HalfCheetah, randomized mass/damping, CaDM fwd+bwd + CEM @ 2048 envs
+    "halfcheetah_cadm_cem": ExperimentConfig(
+        env="half_cheetah", model="cadm", planner="cem",
+        n_envs=2048, n_candidates=200, plan_horizon=30,
+        steps_per_itr=1000, n_itr=20, buffer_capacity=20000,
+        model_updates_per_itr=2000, batch_size=256,
+    ),
+    # Ant + CrippledAnt, CaDM ensemble + CEM
+    "ant_cadm_ensemble_cem": ExperimentConfig(
+        env="ant", model="cadm", ensemble=5, planner="cem",
+        n_envs=1024, n_candidates=200, plan_horizon=30,
+        steps_per_itr=1000, n_itr=20, buffer_capacity=20000,
+        model_updates_per_itr=2000, batch_size=256,
+    ),
+    "cripple_ant_cadm_ensemble_cem": ExperimentConfig(
+        env="cripple_ant", model="cadm", ensemble=5, planner="cem",
+        n_envs=1024, n_candidates=200, plan_horizon=30,
+        steps_per_itr=1000, n_itr=20, buffer_capacity=20000,
+        model_updates_per_itr=2000, batch_size=256,
+    ),
+    # SlimHumanoid / Hopper (PPO+CaDM rides cadm_tpu.train.ppo — see cli.run)
+    "slim_humanoid_cadm_cem": ExperimentConfig(
+        env="slim_humanoid", model="cadm", planner="cem",
+        n_envs=512, n_candidates=200, plan_horizon=30,
+        steps_per_itr=500, n_itr=20, buffer_capacity=10000,
+        model_updates_per_itr=2000, batch_size=256,
+    ),
+    "hopper_cadm_cem": ExperimentConfig(
+        env="hopper", model="cadm", planner="cem",
+        n_envs=512, n_candidates=200, plan_horizon=30,
+        steps_per_itr=500, n_itr=20, buffer_capacity=10000,
+        model_updates_per_itr=2000, batch_size=256,
+    ),
+}

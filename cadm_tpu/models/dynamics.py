@@ -32,7 +32,7 @@ import optax
 from flax import struct
 
 from cadm_tpu.core.types import Array, PyTree
-from cadm_tpu.models.nets import mlp_apply, mlp_init
+from cadm_tpu.models.nets import gru_apply, gru_init, mlp_apply, mlp_init
 
 
 @dataclasses.dataclass(frozen=True)
@@ -42,8 +42,9 @@ class DynamicsConfig:
     hidden: Tuple[int, ...] = (200, 200, 200, 200)
     n_members: int = 1
     probabilistic: bool = False
-    context: str = "none"  # 'none' | 'stacked' | 'encoder'
+    context: str = "none"  # 'none' | 'stacked' | 'encoder' | 'rnn'
     z_dim: int = 10
+    rnn_hidden: int = 64
     history_k: int = 10
     future_m: int = 10
     encoder_hidden: Tuple[int, ...] = (256, 128)
@@ -59,7 +60,7 @@ class DynamicsConfig:
 
     @property
     def context_dim(self) -> int:
-        if self.context == "encoder":
+        if self.context in ("encoder", "rnn"):
             return self.z_dim
         if self.context == "stacked":
             return self.hist_dim
@@ -112,6 +113,7 @@ class SegmentBatch:
     Leaves may carry extra leading axes (e.g. a member axis for bootstrap).
     """
 
+    hist_obs: Array    # (..., K, obs_dim) — used by meta-models (GrBAL)
     hist_dobs: Array   # (..., K, obs_dim)
     hist_act: Array    # (..., K, act_dim)
     hist_valid: Array  # (..., K)
@@ -140,11 +142,24 @@ class Dynamics:
             params["encoder"] = mlp_init(
                 r_enc, [c.hist_dim, *c.encoder_hidden, c.z_dim]
             )
+        elif c.context == "rnn":
+            # ReBAL-style recurrent context (SURVEY.md §2.1 "RNN dynamics"):
+            # a GRU consumes the past-K (Δobs, action) window; its final
+            # hidden state projects to z. The hidden state carries across
+            # the window only (re-encoded each step), so the planner treats
+            # z exactly like the CaDM latent.
+            r_gru, r_proj = jax.random.split(r_enc)
+            params["encoder"] = {
+                "gru": gru_init(
+                    r_gru, c.obs_dim + c.act_dim, c.rnn_hidden
+                ),
+                "proj": mlp_init(r_proj, [c.rnn_hidden, c.z_dim]),
+            }
         head_sizes = [c.head_in_dim, *c.hidden, c.head_out_dim]
         params["fwd"] = jax.vmap(lambda k: mlp_init(k, head_sizes))(
             jax.random.split(r_fwd, c.n_members)
         )
-        if c.context == "encoder" and c.backward:
+        if c.context in ("encoder", "rnn") and c.backward:
             params["bwd"] = jax.vmap(lambda k: mlp_init(k, head_sizes))(
                 jax.random.split(r_bwd, c.n_members)
             )
@@ -189,6 +204,20 @@ class Dynamics:
         )
         if c.context == "encoder":
             return mlp_apply(params["encoder"], flat)
+        if c.context == "rnn":
+            x = jnp.concatenate([nd * v, na * v], axis=-1)   # (..., K, d)
+            xs = jnp.moveaxis(x, -2, 0)                      # (K, ..., d)
+            vs = jnp.moveaxis(hist_valid, -1, 0)             # (K, ...)
+            h0 = jnp.zeros((*x.shape[:-2], c.rnn_hidden))
+
+            def cell(h, xv):
+                xt, vt = xv
+                h_new = gru_apply(params["encoder"]["gru"], h, xt)
+                h = jnp.where(vt[..., None] > 0, h_new, h)
+                return h, None
+
+            h, _ = jax.lax.scan(cell, h0, (xs, vs))
+            return mlp_apply(params["encoder"]["proj"], h)
         if c.context == "stacked":
             return flat
         return flat[..., :0]

@@ -39,6 +39,37 @@ def mlp_init(rng: Array, sizes: Sequence[int]) -> PyTree:
     return params
 
 
+def gru_init(rng: Array, in_dim: int, hidden: int) -> PyTree:
+    """GRU cell parameters (update/reset/candidate gates)."""
+    k = jax.random.split(rng, 3)
+    scale_x = 1.0 / (2.0 * jnp.sqrt(in_dim))
+    scale_h = 1.0 / (2.0 * jnp.sqrt(hidden))
+
+    def mat(key, n_in, scale):
+        return jax.random.truncated_normal(key, -2.0, 2.0, (n_in, hidden)) * scale
+
+    return {
+        g: {
+            "wx": mat(jax.random.fold_in(k[i], 0), in_dim, scale_x),
+            "wh": mat(jax.random.fold_in(k[i], 1), hidden, scale_h),
+            "b": jnp.zeros((hidden,)),
+        }
+        for i, g in enumerate(("z", "r", "h"))
+    }
+
+
+def gru_apply(params: PyTree, h: Array, x: Array) -> Array:
+    """One GRU step: h' = (1−z)·h + z·tanh(candidate)."""
+
+    def gate(g, a, b):
+        return jnp.dot(a, params[g]["wx"]) + jnp.dot(b, params[g]["wh"]) + params[g]["b"]
+
+    z = jax.nn.sigmoid(gate("z", x, h))
+    r = jax.nn.sigmoid(gate("r", x, h))
+    cand = jnp.tanh(gate("h", x, r * h))
+    return (1.0 - z) * h + z * cand
+
+
 def mlp_apply(params: PyTree, x: Array, activation=swish) -> Array:
     """Apply the MLP; activation on all but the final layer.
 

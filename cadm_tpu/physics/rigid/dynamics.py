@@ -30,6 +30,7 @@ import numpy as np
 from flax import struct
 
 from cadm_tpu.core.types import Array
+from cadm_tpu.ops.linalg import spd_inverse
 from cadm_tpu.physics.rigid import math3d
 from cadm_tpu.physics.rigid.kinematics import (
     FK,
@@ -115,28 +116,53 @@ def passive_forces(
     through the (M + h·diag(B)) system matrix, matching MuJoCo's Euler
     integrator (essential for the stiff cheetah leg joints).
     """
-    tau = jnp.zeros((sys.nv,))
-    # per-joint passive springs and joint-limit penalty spring-dampers
-    for j in range(sys.nj):
-        jt = int(sys.jnt_type[j])
-        if jt not in (HINGE, SLIDE):
-            continue
-        qadr = int(sys.jnt_qposadr[j])
-        dadr = int(sys.jnt_dofadr[j])
-        q = qpos[qadr]
-        f = jnp.zeros(())
-        k_spring = float(sys.jnt_stiffness[j])
-        if k_spring > 0.0:
-            f = f - k_spring * (q - float(sys.qpos_spring[qadr]))
-        if bool(sys.jnt_limited[j]):
-            lo, hi = float(sys.jnt_range[j, 0]), float(sys.jnt_range[j, 1])
-            viol_hi = jnp.maximum(q - hi, 0.0)
-            viol_lo = jnp.maximum(lo - q, 0.0)
-            active = (viol_hi > 0) | (viol_lo > 0)
-            f = f - sys.limit_stiffness * (viol_hi - viol_lo)
-            f = f - sys.limit_damping * qvel[dadr] * active
-        tau = tau.at[dadr].add(f)
-    return tau
+    meta = _scalar_joint_meta(sys)
+    if meta is None:
+        return jnp.zeros((sys.nv,))
+    qadr, dadr, k_spring, spring_ref, lo, hi, limited, scatter = meta
+    q = qpos[qadr]          # static gather of 1-dof joint positions
+    v = qvel[dadr]
+    f = -k_spring * (q - spring_ref)
+    viol_hi = jnp.maximum(q - hi, 0.0)
+    viol_lo = jnp.maximum(lo - q, 0.0)
+    active = limited * ((viol_hi > 0) | (viol_lo > 0))
+    f = f - sys.limit_stiffness * (viol_hi - viol_lo) * limited
+    f = f - sys.limit_damping * v * active
+    # static one-hot scatter into dof space (a matmul, not a scatter op)
+    return f @ scatter
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _act_matrix(sys: System) -> np.ndarray:
+    """(nu, nv) static one-hot map from actuators onto their dofs."""
+    mat = np.zeros((sys.nu, sys.nv))
+    for a in range(sys.nu):
+        mat[a, int(sys.jnt_dofadr[int(sys.act_joint[a])])] = 1.0
+    return mat
+
+
+@lru_cache(maxsize=None)
+def _scalar_joint_meta(sys: System):
+    """Static vectorized metadata for all 1-dof (hinge/slide) joints."""
+    rows = [
+        j for j in range(sys.nj) if int(sys.jnt_type[j]) in (HINGE, SLIDE)
+    ]
+    if not rows:
+        return None
+    qadr = np.array([int(sys.jnt_qposadr[j]) for j in rows])
+    dadr = np.array([int(sys.jnt_dofadr[j]) for j in rows])
+    k_spring = np.array([float(sys.jnt_stiffness[j]) for j in rows])
+    spring_ref = np.array([float(sys.qpos_spring[q]) for q in qadr])
+    lo = np.array([float(sys.jnt_range[j, 0]) for j in rows])
+    hi = np.array([float(sys.jnt_range[j, 1]) for j in rows])
+    limited = np.array([float(sys.jnt_limited[j]) for j in rows])
+    scatter = np.zeros((len(rows), sys.nv))
+    for i, d in enumerate(dadr):
+        scatter[i, d] = 1.0
+    return qadr, dadr, k_spring, spring_ref, lo, hi, limited, scatter
 
 
 def actuation(sys: System, ctrl: Array, act_mask: Array) -> Array:
@@ -144,11 +170,7 @@ def actuation(sys: System, ctrl: Array, act_mask: Array) -> Array:
     lo = jnp.asarray(sys.act_ctrlrange[:, 0])
     hi = jnp.asarray(sys.act_ctrlrange[:, 1])
     force = jnp.clip(ctrl, lo, hi) * jnp.asarray(sys.act_gear) * act_mask
-    tau = jnp.zeros((sys.nv,))
-    dof_of_act = np.array(
-        [int(sys.jnt_dofadr[int(j)]) for j in sys.act_joint], int
-    )
-    return tau.at[dof_of_act].add(force)
+    return force @ jnp.asarray(_act_matrix(sys))
 
 
 # --------------------------------------------------------------- contacts --
@@ -207,7 +229,7 @@ def _np_quat_mat(q):
 def contact_solve(
     sys: System,
     fk: FK,
-    M: Array,
+    Minv: Array,
     v_pred: Array,
     dt: float,
 ) -> Array:
@@ -215,7 +237,13 @@ def contact_solve(
 
     Returns the post-contact qvel. Static contact count; inactive contacts
     (separation > 0) are clamped to zero normal impulse, so no data-dependent
-    shapes leak into the jit trace.
+    shapes leak into the jit trace. ``Minv`` is the explicit inverse of the
+    (damping-augmented) mass matrix, so the Delassus operator and the impulse
+    back-substitution are plain batched matmuls (MXU work).
+
+    Solver shape: Gauss–Seidel sweeps (lax.fori_loop) over a STATICALLY
+    unrolled contact list — all index arithmetic is compile-time, no dynamic
+    slicing in the hot loop.
     """
     c_body, c_off, c_rad, c_mu = _contact_points(sys)
     nc = len(c_body)
@@ -232,41 +260,68 @@ def contact_solve(
     # rows: x/y tangent, z normal — plane frame is world-aligned
     Jc = Jp.reshape(3 * nc, sys.nv)
 
-    L = jax.scipy.linalg.cho_factor(M)
-    MinvJt = jax.scipy.linalg.cho_solve(L, Jc.T)       # (nv, 3nc)
-    A = Jc @ MinvJt                                     # (3nc, 3nc)
-    A = A + 1e-6 * jnp.eye(3 * nc)
+    MinvJt = Minv @ Jc.T                                # (nv, 3nc) matmul
+    A = Jc @ MinvJt + 1e-6 * jnp.eye(3 * nc)            # Delassus (3nc,3nc)
     b = Jc @ v_pred
 
     # Baumgarte push-out target on the normal component
     v_star = -sys.contact_stiffness / dt * jnp.minimum(phi, 0.0)
-    active = (phi < 0.0).astype(jnp.float32)
-    mu = jnp.asarray(c_mu)
+    active_mu = (phi < 0.0).astype(jnp.float32) * jnp.asarray(c_mu)
 
-    Adiag = jnp.diagonal(A)
-
-    def contact_update(i, lam):
-        iz, ix, iy = 3 * i + 2, 3 * i, 3 * i + 1
-        # normal impulse (projected ≥ 0, zeroed when not penetrating)
-        r = A[iz] @ lam + b[iz] - v_star[i]
-        ln = jnp.maximum(lam[iz] - r / Adiag[iz], 0.0) * active[i]
-        lam = lam.at[iz].set(ln)
-        # friction impulses, projected onto the cone |λ_t| ≤ μ λ_n
-        rx = A[ix] @ lam + b[ix]
-        lx = lam[ix] - rx / Adiag[ix]
-        ry = A[iy] @ lam + b[iy]
-        ly = lam[iy] - ry / Adiag[iy]
-        t_norm = jnp.sqrt(lx * lx + ly * ly) + 1e-9
-        scale = jnp.minimum(1.0, mu[i] * ln / t_norm)
-        return lam.at[ix].set(lx * scale).at[iy].set(ly * scale)
-
-    def sweep(_, lam):
-        return jax.lax.fori_loop(0, nc, contact_update, lam)
-
-    lam = jax.lax.fori_loop(
-        0, sys.solver_iters, sweep, jnp.zeros((3 * nc,))
-    )
+    lam = _pgs_dispatch(sys)(A, b, v_star, active_mu)
     return v_pred + MinvJt @ lam
+
+
+@lru_cache(maxsize=None)
+def _pgs_dispatch(sys: System):
+    """PGS solve that is a Pallas kernel under vmap, XLA loop otherwise.
+
+    ``contact_solve`` is written per-env; the collect loop vmaps it over
+    thousands of envs. jax.custom_batching swaps the vmapped path for the
+    VMEM-resident Pallas kernel (ops/pgs.py) — the unbatched fallback keeps
+    single-env debugging and CPU use simple.
+    """
+    nc = len(_contact_points(sys)[0])
+    iters = sys.solver_iters
+
+    @jax.custom_batching.custom_vmap
+    def solve(A, b, v_star, active_mu):
+        return solve_xla(A, b, v_star, active_mu)
+
+    def solve_xla(A, b, v_star, active_mu):
+        # plain-XLA version (used per-env, and batched on non-TPU backends
+        # where Pallas would fall back to the slow interpreter)
+        Adiag = jnp.diagonal(A)
+
+        def sweep(_, lam):
+            for i in range(nc):
+                iz, ix, iy = 3 * i + 2, 3 * i, 3 * i + 1
+                active = (active_mu[i] > 0.0).astype(lam.dtype)
+                r = A[iz] @ lam + b[iz] - v_star[i]
+                ln = jnp.maximum(lam[iz] - r / Adiag[iz], 0.0) * active
+                lam = lam.at[iz].set(ln)
+                rx = A[ix] @ lam + b[ix]
+                lx = lam[ix] - rx / Adiag[ix]
+                ry = A[iy] @ lam + b[iy]
+                ly = lam[iy] - ry / Adiag[iy]
+                t_norm = jnp.sqrt(lx * lx + ly * ly) + 1e-9
+                scale = jnp.minimum(1.0, active_mu[i] * ln / t_norm)
+                lam = lam.at[ix].set(lx * scale).at[iy].set(ly * scale)
+            return lam
+
+        return jax.lax.fori_loop(0, iters, sweep, jnp.zeros((3 * nc,)))
+
+    @solve.def_vmap
+    def _solve_vmap(axis_size, in_batched, A, b, v_star, active_mu):
+        if jax.default_backend() == "tpu":
+            from cadm_tpu.ops.pgs import pgs_solve
+
+            lam = pgs_solve(A, b, v_star, active_mu, nc=nc, iters=iters)
+        else:
+            lam = jax.vmap(solve_xla)(A, b, v_star, active_mu)
+        return lam, True
+
+    return solve
 
 
 # ------------------------------------------------------------------- step --
@@ -288,11 +343,13 @@ def step(
         - c
         - B * qvel
     )
-    # implicit joint damping (MuJoCo Euler): (M + h·diag(B)) v̇ = τ − Bv − c
+    # implicit joint damping (MuJoCo Euler): (M + h·diag(B)) v̇ = τ − Bv − c.
+    # One explicit statically-unrolled SPD inverse (ops/linalg.py) serves the
+    # qacc solve AND the contact Delassus/backsubstitution as batched matmuls.
     M_eff = M + sys.dt * jnp.diag(B)
-    qacc = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(M_eff), tau)
-    v_pred = qvel + sys.dt * qacc
-    v_post = contact_solve(sys, fk, M_eff, v_pred, sys.dt)
+    Minv = spd_inverse(M_eff)
+    v_pred = qvel + sys.dt * (Minv @ tau)
+    v_post = contact_solve(sys, fk, Minv, v_pred, sys.dt)
     qpos_new = integrate_qpos(sys, qpos, v_post, sys.dt)
     return qpos_new, v_post
 

@@ -43,18 +43,26 @@ class FK:
 
 
 def forward_kinematics(sys: System, qpos: Array) -> FK:
+    """Tree walk carried entirely in (pos, quat) pairs.
+
+    No 3×3 matrix products appear in the sequential chain — every step is
+    quaternion arithmetic (pure elementwise + cross products), which XLA
+    fuses into a handful of kernels even at batch thousands. Rotation
+    matrices are materialized ONCE at the end in a single batched op.
+    """
     nb, nv = sys.nb, sys.nv
     eye3 = jnp.eye(3)
+    unit_quat = jnp.array([1.0, 0.0, 0.0, 0.0])
 
     pos = [jnp.zeros(3)] * nb
-    rot = [eye3] * nb
+    quat = [unit_quat] * nb
     dof_axis = [None] * nv
     dof_anchor = [None] * nv
 
     for b in range(1, nb):
         p = int(sys.body_parent[b])
-        R = rot[p] @ math3d.quat_to_mat(jnp.asarray(sys.body_quat[b]))
-        x = pos[p] + rot[p] @ jnp.asarray(sys.body_pos[b])
+        q = math3d.quat_mul(quat[p], jnp.asarray(sys.body_quat[b]))
+        x = pos[p] + math3d.quat_rotate(quat[p], jnp.asarray(sys.body_pos[b]))
 
         for j in np.nonzero(sys.jnt_body == b)[0]:
             jt = int(sys.jnt_type[j])
@@ -62,42 +70,45 @@ def forward_kinematics(sys: System, qpos: Array) -> FK:
             dadr = int(sys.jnt_dofadr[j])
             if jt == FREE:
                 x = qpos[qadr: qadr + 3]
-                quat = qpos[qadr + 3: qadr + 7]
-                quat = quat / jnp.linalg.norm(quat)
-                R = math3d.quat_to_mat(quat)
+                q = qpos[qadr + 3: qadr + 7]
+                q = q / jnp.linalg.norm(q)
                 # translational dofs: world axes; rotational dofs: BODY axes
                 # about the body origin (MuJoCo free-joint convention)
                 for i in range(3):
                     dof_axis[dadr + i] = eye3[i]
                     dof_anchor[dadr + i] = jnp.zeros(3)
                 for i in range(3):
-                    dof_axis[dadr + 3 + i] = R[:, i]
+                    dof_axis[dadr + 3 + i] = math3d.quat_rotate(q, eye3[i])
                     dof_anchor[dadr + 3 + i] = x
             elif jt == SLIDE:
-                a_w = R @ jnp.asarray(sys.jnt_axis[j])
+                a_w = math3d.quat_rotate(q, jnp.asarray(sys.jnt_axis[j]))
                 x = x + a_w * (qpos[qadr] - sys.qpos0[qadr])
                 dof_axis[dadr] = a_w
                 dof_anchor[dadr] = x
             elif jt == HINGE:
-                a_w = R @ jnp.asarray(sys.jnt_axis[j])
-                o_w = x + R @ jnp.asarray(sys.jnt_pos[j])
-                dq = math3d.quat_from_axis_angle(a_w, qpos[qadr] - sys.qpos0[qadr])
-                R_aa = math3d.quat_to_mat(dq)
-                R = R_aa @ R
-                x = o_w + R_aa @ (x - o_w)
+                a_w = math3d.quat_rotate(q, jnp.asarray(sys.jnt_axis[j]))
+                o_w = x + math3d.quat_rotate(q, jnp.asarray(sys.jnt_pos[j]))
+                dq = math3d.quat_from_axis_angle(
+                    a_w, qpos[qadr] - sys.qpos0[qadr]
+                )
+                q = math3d.quat_mul(dq, q)
+                x = o_w + math3d.quat_rotate(dq, x - o_w)
                 dof_axis[dadr] = a_w
                 dof_anchor[dadr] = o_w
             else:
                 raise NotImplementedError(f"joint type {jt}")
         pos[b] = x
-        rot[b] = R
+        quat[b] = q
 
     body_pos = jnp.stack(pos)
-    body_rot = jnp.stack(rot)
-    com = body_pos + jnp.einsum(
-        "bij,bj->bi", body_rot, jnp.asarray(sys.body_ipos)
+    body_quat = jnp.stack(quat)
+    body_rot = math3d.quat_to_mat(body_quat)  # one batched materialization
+    com = body_pos + math3d.quat_rotate(
+        body_quat, jnp.asarray(sys.body_ipos)
     )
-    R_i = body_rot @ math3d.quat_to_mat(jnp.asarray(sys.body_iquat))
+    R_i = math3d.quat_to_mat(
+        math3d.quat_mul(body_quat, jnp.asarray(sys.body_iquat))
+    )
     inertia_w = jnp.einsum(
         "bij,bj,bkj->bik", R_i, jnp.asarray(sys.body_inertia), R_i
     )

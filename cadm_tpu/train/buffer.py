@@ -148,6 +148,7 @@ class ReplayBuffer:
         valid = (contig & (prev_done == 0)).astype(jnp.float32)
 
         return SegmentBatch(
+            hist_obs=hist_obs,
             hist_dobs=hist_next - hist_obs,
             hist_act=hist_act,
             hist_valid=hist_valid,

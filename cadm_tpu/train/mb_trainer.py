@@ -47,11 +47,16 @@ class MBTrainer:
         model: Dynamics,
         planner: MPCPlanner,
         config: TrainerConfig,
+        mesh=None,
     ):
+        """``mesh``: optional jax.sharding.Mesh with ('dp','model') axes —
+        envs/history/replay shard over dp, ensemble members over model
+        (see cadm_tpu.parallel.mesh). None = single-device."""
         self.env = env
         self.model = model
         self.planner = planner
         self.cfg = config
+        self.mesh = mesh
         k = model.cfg.history_k
         self._collect_random = jax.jit(
             lambda *a: self._collect(*a, random_actions=True)
@@ -83,6 +88,18 @@ class MBTrainer:
             self.env.act_dim,
         )
         dyn_state = self.model.init_state(r_model)
+        if self.mesh is not None:
+            from cadm_tpu.parallel.mesh import (
+                env_sharding,
+                shard_dynamics_state,
+                shard_leading_axis,
+            )
+
+            es = env_sharding(self.mesh)
+            env_states = shard_leading_axis(env_states, es)
+            hists = shard_leading_axis(hists, es)
+            buffer = shard_leading_axis(buffer, es)
+            dyn_state = shard_dynamics_state(dyn_state, self.mesh)
         return env_states, hists, buffer, dyn_state
 
     # ---------------------------------------------------------- collect --

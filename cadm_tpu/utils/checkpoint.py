@@ -1,0 +1,58 @@
+"""Orbax checkpointing: the reference's ``itr_N.pkl`` snapshots, TPU-native.
+
+Reference behavior (SURVEY.md §5 checkpoint row): joblib pickles of
+model+policy per outer iteration, manual resume. Here: Orbax saves of the
+full training pytree (dynamics state, env/collector state, replay buffer,
+rng, iteration counter) with deterministic resume — the elastic-recovery
+story the reference lacks.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+
+
+class Checkpointer:
+    def __init__(self, directory: str, keep: int = 3, save_buffer: bool = True):
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self.dir = os.path.abspath(directory)
+        os.makedirs(self.dir, exist_ok=True)
+        self.save_buffer = save_buffer
+        self.mngr = ocp.CheckpointManager(
+            self.dir,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=keep, create=True
+            ),
+        )
+
+    def save(self, step: int, state: Any, buffer: Any = None, wait: bool = False) -> None:
+        payload = {"state": state}
+        if buffer is not None and self.save_buffer:
+            payload["buffer"] = buffer
+        self.mngr.save(
+            step, args=self._ocp.args.StandardSave(payload)
+        )
+        if wait:
+            self.mngr.wait_until_finished()
+
+    def restore(self, step: Optional[int] = None, template: Any = None) -> Any:
+        step = step if step is not None else self.mngr.latest_step()
+        if step is None:
+            return None
+        if template is not None:
+            return self.mngr.restore(
+                step, args=self._ocp.args.StandardRestore(template)
+            )
+        return self.mngr.restore(step)
+
+    @property
+    def latest_step(self) -> Optional[int]:
+        return self.mngr.latest_step()
+
+    def close(self) -> None:
+        self.mngr.wait_until_finished()
+        self.mngr.close()

@@ -1,0 +1,107 @@
+"""Logger / checkpoint / presets / PPO+CaDM / multi-chip mesh tests."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cadm_tpu.cli.presets import PRESETS, ExperimentConfig
+from cadm_tpu.envs import make
+from cadm_tpu.models.dynamics import Dynamics, DynamicsConfig
+from cadm_tpu.train.ppo import PPOConfig, PPOTrainer
+from cadm_tpu.utils.logger import TabularLogger
+
+
+def test_logger_csv_contract(tmp_path):
+    lg = TabularLogger(str(tmp_path), "exp1", mirror_stdout=False)
+    lg.logkv("itr", 0)
+    lg.logkv("return", 1.5)
+    lg.dumpkvs()
+    lg.logkv("itr", 1)
+    lg.logkv("return", 2.5)
+    lg.logkv("new_key", 7)  # header widens later — reference-style tolerance
+    lg.dumpkvs()
+    lg.save_params({"env": "cartpole", "seed": 0})
+
+    import csv
+
+    rows = list(csv.DictReader(open(lg.csv_path)))
+    assert len(rows) == 2
+    assert rows[0]["return"] == "1.5" and rows[0]["new_key"] == ""
+    assert rows[1]["new_key"] == "7"
+    assert os.path.exists(os.path.join(lg.dir, "params.json"))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from cadm_tpu.utils.checkpoint import Checkpointer
+
+    model = Dynamics(DynamicsConfig(obs_dim=3, act_dim=2, hidden=(16,)))
+    state = model.init_state(jax.random.key(0))
+    ck = Checkpointer(str(tmp_path / "ckpt"), save_buffer=False)
+    ck.save(0, state, wait=True)
+    restored = ck.restore(0, template={"state": state})["state"]
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    ck.close()
+
+
+def test_presets_build():
+    env, model, planner, trainer = PRESETS["cartpole_vanilla_rs"].build()
+    assert env.obs_dim == 5
+    assert model.cfg.context == "none"
+    env, model, planner, trainer = PRESETS["pendulum_cadm_cem"].build()
+    assert model.cfg.context == "encoder"
+    assert planner.cfg.kind == "cem"
+
+
+def test_cli_overrides():
+    from cadm_tpu.cli.run import build_parser, config_from_args
+
+    args = build_parser().parse_args(
+        ["--preset", "pendulum_cadm_cem", "--n-envs", "4", "--lr", "0.01"]
+    )
+    cfg = config_from_args(args)
+    assert cfg.n_envs == 4 and cfg.lr == 0.01 and cfg.env == "pendulum"
+
+
+def test_ppo_cadm_end_to_end():
+    env = make("pendulum")
+    model = Dynamics(
+        DynamicsConfig(
+            obs_dim=env.obs_dim, act_dim=env.act_dim, hidden=(32, 32),
+            context="encoder", z_dim=4, history_k=4, future_m=3,
+        )
+    )
+    trainer = PPOTrainer(
+        env, model,
+        PPOConfig(
+            n_envs=4, rollout_len=32, n_itr=2, ppo_epochs=2, minibatches=2,
+            model_updates_per_itr=10, buffer_capacity=128,
+        ),
+    )
+    ppo_state, dyn_state, hist = trainer.train(jax.random.key(0))
+    assert len(hist) == 2
+    assert np.isfinite(hist[-1]["ppo/loss_last"])
+    assert np.isfinite(hist[-1]["fit/model_loss_last"])
+    assert int(ppo_state.updates) == 2 * 2 * 2  # itr × epochs × minibatches
+
+
+def test_mb_trainer_on_mesh():
+    """Full collect+fit on a (dp=4, model=2) virtual mesh."""
+    from cadm_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(dp=4, model=2)
+    cfg = ExperimentConfig(
+        env="pendulum", model="cadm", ensemble=2, planner="cem",
+        n_envs=8, n_candidates=16, plan_horizon=4, cem_iters=2, cem_elites=4,
+        steps_per_itr=8, n_itr=1, model_updates_per_itr=3, batch_size=8,
+        buffer_capacity=64, eval_envs=8, eval_modes=(),
+        history_k=4, future_m=3, hidden=(32,), z_dim=4,
+    )
+    env, model, planner, trainer = cfg.build(mesh=mesh)
+    dyn_state, hist = trainer.train(jax.random.key(0))
+    assert np.isfinite(hist[0]["fit/model_loss_last"])

@@ -50,6 +50,7 @@ def synthetic_batch(rng, n, a_scale=None):
     xs, us, x2s = jax.vmap(gen)(keys, a_scale)
     return (
         SegmentBatch(
+            hist_obs=xs[:, :K],
             hist_dobs=x2s[:, :K] - xs[:, :K],
             hist_act=us[:, :K],
             hist_valid=jnp.ones((n, K)),
@@ -66,6 +67,7 @@ VARIANTS = {
     "vanilla": dict(),
     "stacked": dict(context="stacked"),
     "cadm": dict(context="encoder"),
+    "rnn": dict(context="rnn"),
     "pets": dict(n_members=3, probabilistic=True),
     "cadm_pets": dict(context="encoder", n_members=3, probabilistic=True),
 }

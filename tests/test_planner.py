@@ -29,6 +29,7 @@ def _train_pointmass_model(n_members=1, probabilistic=False):
             [obs[:, 0] + 0.1 * obs[:, 1], obs[:, 1] + 0.1 * act[:, 0]], -1
         )
         return SegmentBatch(
+            hist_obs=jnp.zeros((256, 2, OBS)),
             hist_dobs=jnp.zeros((256, 2, OBS)),
             hist_act=jnp.zeros((256, 2, ACT)),
             hist_valid=jnp.zeros((256, 2)),
