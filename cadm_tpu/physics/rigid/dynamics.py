@@ -34,8 +34,10 @@ from cadm_tpu.ops.linalg import spd_inverse
 from cadm_tpu.physics.rigid import math3d
 from cadm_tpu.physics.rigid.kinematics import (
     FK,
+    FKVel,
     com_jacobians,
     forward_kinematics,
+    forward_velocities,
     geom_world,
     integrate_qpos,
     kinematic_map,
@@ -311,17 +313,93 @@ def _pgs_dispatch(sys: System):
 
         return jax.lax.fori_loop(0, iters, sweep, jnp.zeros((3 * nc,)))
 
+    def kernel_branch(A, b, v_star, active_mu):
+        from cadm_tpu.ops.pgs import pgs_solve
+
+        return pgs_solve(A, b, v_star, active_mu, nc=nc, iters=iters)
+
+    def xla_branch(A, b, v_star, active_mu):
+        return jax.vmap(solve_xla)(A, b, v_star, active_mu)
+
     @solve.def_vmap
     def _solve_vmap(axis_size, in_batched, A, b, v_star, active_mu):
-        if jax.default_backend() == "tpu":
-            from cadm_tpu.ops.pgs import pgs_solve
-
-            lam = pgs_solve(A, b, v_star, active_mu, nc=nc, iters=iters)
-        else:
-            lam = jax.vmap(solve_xla)(A, b, v_star, active_mu)
+        # per-platform lowering: Pallas kernel on TPU, plain XLA elsewhere
+        lam = jax.lax.platform_dependent(
+            A, b, v_star, active_mu, tpu=kernel_branch, default=xla_branch
+        )
         return lam, True
 
     return solve
+
+
+@lru_cache(maxsize=None)
+def _fkvel_dispatch(sys: System):
+    """forward_velocities that becomes the fused Pallas kernel under vmap.
+
+    Per-env (unbatched) and non-TPU backends use the pure-JAX tree walk;
+    the vmapped TPU path runs ops/fk_kernel.py and reassembles the FKVel
+    pytree (rotation matrices / world inertias are two batched XLA ops).
+    """
+
+    @jax.custom_batching.custom_vmap
+    def fkvel(qpos, qvel):
+        return forward_velocities(sys, qpos, qvel)
+
+    def kernel_branch(qpos, qvel):
+        from cadm_tpu.ops.fk_kernel import fk_vel_pallas
+
+        d = fk_vel_pallas(sys, qpos, qvel)
+        quat = d["quat"]
+        body_rot = math3d.quat_to_mat(quat)
+        R_i = math3d.quat_to_mat(
+            math3d.quat_mul(quat, jnp.asarray(sys.body_iquat))
+        )
+        inertia_w = jnp.einsum(
+            "ebij,bj,ebkj->ebik", R_i, jnp.asarray(sys.body_inertia), R_i
+        )
+        return FKVel(
+            body_pos=d["pos"],
+            body_rot=body_rot,
+            com=d["com"],
+            inertia_w=inertia_w,
+            dof_axis=d["dof_axis"],
+            dof_anchor=d["dof_anchor"],
+            omega=d["omega"],
+            v_com=d["v_com"],
+            alpha0=d["alpha0"],
+            a_com0=d["a_com0"],
+        )
+
+    def pure_branch(qpos, qvel):
+        return jax.vmap(lambda qp, qv: forward_velocities(sys, qp, qv))(
+            qpos, qvel
+        )
+
+    @fkvel.def_vmap
+    def _rule(axis_size, in_batched, qpos, qvel):
+        # branch selection at LOWERING time, per platform — a program traced
+        # on TPU but lowered for CPU (e.g. jax.default_device) still works
+        out = jax.lax.platform_dependent(
+            qpos, qvel, tpu=kernel_branch, default=pure_branch
+        )
+        return out, jax.tree.map(lambda _: True, out)
+
+    return fkvel
+
+
+def bias_from_fkvel(sys: System, fkv: FKVel, mass_scale: Array) -> Array:
+    """Generalized bias forces from the analytic propagation quantities."""
+    jlin, jrot = com_jacobians(sys, fkv)
+    m = jnp.asarray(sys.body_mass) * mass_scale
+    iw = fkv.inertia_w * mass_scale
+    g = jnp.asarray(sys.gravity)
+    f_lin = m[:, None] * (fkv.a_com0 - g)
+    torque = jnp.einsum("bde,be->bd", iw, fkv.alpha0) + jnp.cross(
+        fkv.omega, jnp.einsum("bde,be->bd", iw, fkv.omega)
+    )
+    return jnp.einsum("bdv,bd->v", jlin, f_lin) + jnp.einsum(
+        "bdv,bd->v", jrot, torque
+    )
 
 
 # ------------------------------------------------------------------- step --
@@ -333,9 +411,9 @@ def step(
     ctrl: Array,
 ) -> Tuple[Array, Array]:
     """One physics substep (semi-implicit Euler, like MuJoCo's Euler)."""
-    fk = forward_kinematics(sys, qpos)
+    fk = _fkvel_dispatch(sys)(qpos, qvel)
     M = mass_matrix(sys, fk, params.mass_scale)
-    c = bias_forces(sys, qpos, qvel, params.mass_scale)
+    c = bias_from_fkvel(sys, fk, params.mass_scale)
     B = jnp.asarray(sys.dof_damping) * params.damping_scale
     tau = (
         actuation(sys, ctrl, params.act_mask)

@@ -183,12 +183,25 @@ class MBTrainer:
             st, metrics = model.update(st, batch)
             return st, metrics["model_loss"]
 
-        keys = jax.random.split(rng, cfg.model_updates_per_itr)
+        r_train, r_valid = jax.random.split(rng)
+        # held-out validation batch (the reference's train/valid split,
+        # SURVEY §2.1 "Dynamics core": valid loss logged each fit)
+        val_batch = buffer.sample_segments(
+            r_valid,
+            (model.cfg.n_members, cfg.batch_size),
+            model.cfg.history_k,
+            model.cfg.future_m,
+        )
+        val_before, _ = model.loss(dyn_state.params, dyn_state.norm, val_batch)
+        keys = jax.random.split(r_train, cfg.model_updates_per_itr)
         dyn_state, losses = jax.lax.scan(upd, dyn_state, keys)
+        val_after, _ = model.loss(dyn_state.params, dyn_state.norm, val_batch)
         return dyn_state, {
             "fit/model_loss_first": losses[0],
             "fit/model_loss_last": losses[-1],
             "fit/model_loss_mean": losses.mean(),
+            "fit/valid_loss_before": val_before,
+            "fit/valid_loss_after": val_after,
         }
 
     # ------------------------------------------------------------- eval --

@@ -1,0 +1,62 @@
+"""NormalizedEnv wrapper, Sampler/SampleProcessor parity API, profiling."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cadm_tpu.envs.cartpole import CartPoleEnv
+from cadm_tpu.envs.pendulum import PendulumEnv
+from cadm_tpu.envs.wrappers import NormalizedEnv
+from cadm_tpu.train.sampler import ModelSampleProcessor, Sampler
+from cadm_tpu.utils.profiling import PhaseTimer
+
+
+def test_normalized_env_action_rescale():
+    env = NormalizedEnv(PendulumEnv())
+    s = env.reset(jax.random.key(0))
+    # wrapper presents a [-1,1] box regardless of inner limits
+    lo, hi = env.action_limits()
+    np.testing.assert_array_equal(np.asarray(lo), [-1.0])
+    # stepping works and matches inner env stepped with same native action
+    inner = PendulumEnv()
+    s2, obs, r, d = env.step(s, jnp.array([0.5]))
+    assert np.isfinite(float(r))
+    assert obs.shape == (env.obs_dim,)
+
+
+def test_normalized_env_obs_whitening_runs():
+    env = NormalizedEnv(CartPoleEnv(), normalize_obs=True)
+    s = env.reset(jax.random.key(0))
+
+    @jax.jit
+    def roll(s, rng):
+        def body(s, k):
+            a = jax.random.uniform(k, (1,), minval=-1, maxval=1)
+            s, obs, r, d = env.step(s, a)
+            return s, obs
+        return jax.lax.scan(body, s, jax.random.split(rng, 50))
+
+    s, obs = roll(s, jax.random.key(1))
+    assert bool(jnp.isfinite(obs).all())
+    assert float(s.phys.stats.count) > 50  # stats accumulated
+
+
+def test_sampler_paths_contract():
+    env = CartPoleEnv()
+    sampler = Sampler(env, n_envs=4, history_k=3)
+    paths = sampler.obtain_samples(jax.random.key(0), n_steps=250, random=True)
+    assert paths["observations"].shape == (250, 4, env.obs_dim)
+    assert paths["dones"].sum() >= 4  # each env finished an episode
+
+    proc = ModelSampleProcessor()
+    flat = proc.process_samples(paths)
+    assert flat["observations"].shape == (1000, env.obs_dim)
+    assert len(flat["episode_returns"]) == int(paths["dones"].sum())
+    assert np.isfinite(flat["average_return"])
+
+
+def test_phase_timer():
+    t = PhaseTimer()
+    with t.phase("fit") as out:
+        out["result"] = jnp.ones((8,)) * 2
+    s = t.summary()
+    assert "time/fit_sec_per_call" in s and s["time/fit_sec_per_call"] >= 0
