@@ -162,16 +162,21 @@ def main():
         f"(n_envs={n_envs}, device={jax.devices()[0].platform})",
         file=sys.stderr,
     )
+    # Target is ≥1M steps/s on v5e-8 (BASELINE.md); this benchmark runs on a
+    # single chip of a data-parallel workload, so compare against the
+    # per-chip share of that target (1M/8 = 125k steps/s/chip).
+    per_chip_target = 1_000_000 / 8
     print(
         json.dumps(
             {
-                "metric": "halfcheetah_env_steps_per_sec",
+                "metric": "halfcheetah_env_steps_per_sec_per_chip",
                 "value": round(steps_per_sec),
-                "unit": "steps/sec",
-                "vs_baseline": round(steps_per_sec / 1_000_000, 4),
+                "unit": "steps/sec/chip",
+                "vs_baseline": round(steps_per_sec / per_chip_target, 4),
                 "secondary": {
                     "cem_model_rollouts_per_sec": round(cem_per_sec),
                     "dynamics_train_steps_per_sec": round(train_per_sec, 1),
+                    "target": "1e6 env steps/s on v5e-8 = 125k/chip",
                 },
             }
         )

@@ -12,7 +12,7 @@ ranges, seed — and builds the component stack.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 from cadm_tpu.envs import make
 from cadm_tpu.models.dynamics import Dynamics, DynamicsConfig
@@ -41,6 +41,7 @@ class ExperimentConfig:
     plan_horizon: int = 30
     cem_iters: int = 5
     cem_elites: int = 20
+    warm_start: bool = False
     # training loop
     n_itr: int = 20
     steps_per_itr: int = 200
@@ -82,6 +83,7 @@ class ExperimentConfig:
                 n_candidates=self.n_candidates,
                 cem_iters=self.cem_iters,
                 cem_elites=self.cem_elites,
+                warm_start=self.warm_start,
             ),
             model,
             env.reward,

@@ -19,7 +19,7 @@ import numpy as np
 from flax import struct
 
 from cadm_tpu.core.types import Array, PyTree
-from cadm_tpu.envs.rigid_base import MassDampingParams, RigidEnv, RigidPhys
+from cadm_tpu.envs.rigid_base import RigidEnv, RigidPhys
 from cadm_tpu.physics.rigid import dynamics as rdyn
 
 # gym ant's init keyframe (legs bent into their joint ranges)

@@ -20,7 +20,7 @@ into reset/step. Env instances hold only static python config (shapes, ranges)
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

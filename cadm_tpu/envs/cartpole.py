@@ -14,8 +14,6 @@ cart-displacement penalty, computed from next_obs only.
 """
 from __future__ import annotations
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 from flax import struct

@@ -38,7 +38,6 @@ from cadm_tpu.physics.rigid.kinematics import (
     com_jacobians,
     forward_kinematics,
     forward_velocities,
-    geom_world,
     integrate_qpos,
     kinematic_map,
     point_jacobians,

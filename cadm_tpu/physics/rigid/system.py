@@ -16,8 +16,6 @@ einsums (TPU-friendly; see kinematics.py).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
-
 import numpy as np
 
 # joint / dof type codes

@@ -18,7 +18,7 @@ that keeps shapes static and member-blocked).
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +38,7 @@ class PlannerConfig:
     cem_elites: int = 20
     cem_alpha: float = 0.1     # momentum on (mu, sigma) across CEM iterations
     init_sigma: float = 0.5
+    warm_start: bool = False   # receding-horizon: shift last plan's mean
 
 
 class MPCPlanner:
@@ -82,9 +83,16 @@ class MPCPlanner:
         return rewards.sum(axis=0).mean(axis=0)  # (C,)
 
     # ---------------------------------------------------------------- act --
-    def _act_single(
-        self, params: PyTree, norm: NormStats, obs: Array, z: Array, rng: Array
-    ) -> Array:
+    def _plan_single(
+        self,
+        params: PyTree,
+        norm: NormStats,
+        obs: Array,
+        z: Array,
+        prev_mu: Array,
+        rng: Array,
+    ) -> Tuple[Array, Array]:
+        """One env's plan → (first action, final action-sequence mean)."""
         cfg = self.cfg
         h, a_dim, c = cfg.horizon, self.act_dim, cfg.n_candidates
         if cfg.kind == "rs":
@@ -94,10 +102,15 @@ class MPCPlanner:
             )
             returns = self._evaluate(params, norm, obs, z, actions, r_e)
             best = jnp.argmax(returns)
-            return actions[best, 0]
+            return actions[best, 0], actions[best]
 
-        # --- CEM ---
-        mu0 = jnp.zeros((h, a_dim))
+        # --- CEM --- (warm start: receding-horizon shift of last mean)
+        if cfg.warm_start:
+            mu0 = jnp.concatenate(
+                [prev_mu[1:], jnp.zeros((1, a_dim))], axis=0
+            )
+        else:
+            mu0 = jnp.zeros((h, a_dim))
         sigma0 = jnp.full((h, a_dim), cfg.init_sigma)
 
         def cem_iter(carry, k):
@@ -116,13 +129,33 @@ class MPCPlanner:
 
         keys = jax.random.split(rng, cfg.cem_iters)
         (mu, _), _ = jax.lax.scan(cem_iter, (mu0, sigma0), keys)
-        return mu[0]
+        return mu[0], mu
+
+    def init_plan(self, n_envs: int) -> Array:
+        """Zero warm-start means, (E, H, act_dim)."""
+        return jnp.zeros((n_envs, self.cfg.horizon, self.act_dim))
+
+    def plan(
+        self,
+        state: DynamicsState,
+        obs: Array,
+        z: Array,
+        rng: Array,
+        prev_mu: Optional[Array] = None,
+    ) -> Tuple[Array, Array]:
+        """Batched planning → (actions (E, act), plan means (E, H, act))."""
+        if prev_mu is None:
+            prev_mu = self.init_plan(obs.shape[0])
+        keys = jax.random.split(rng, obs.shape[0])
+        return jax.vmap(
+            lambda o, zz, m, k: self._plan_single(
+                state.params, state.norm, o, zz, m, k
+            )
+        )(obs, z, prev_mu, keys)
 
     def act(
         self, state: DynamicsState, obs: Array, z: Array, rng: Array
     ) -> Array:
         """Plan for a batch of envs: obs (E, obs_dim), z (E, ctx) → (E, act_dim)."""
-        keys = jax.random.split(rng, obs.shape[0])
-        return jax.vmap(
-            lambda o, zz, k: self._act_single(state.params, state.norm, o, zz, k)
-        )(obs, z, keys)
+        actions, _ = self.plan(state, obs, z, rng)
+        return actions

@@ -57,7 +57,6 @@ class MBTrainer:
         self.planner = planner
         self.cfg = config
         self.mesh = mesh
-        k = model.cfg.history_k
         self._collect_random = jax.jit(
             lambda *a: self._collect(*a, random_actions=True)
         )
@@ -107,11 +106,10 @@ class MBTrainer:
         env, model, cfg = self.env, self.model, self.cfg
 
         def step(carry, k):
-            env_states, hists, buffer, ret_acc = carry
-            k_act, k_step = jax.random.split(k)
+            env_states, hists, buffer, ret_acc, plan_mu = carry
             if random_actions:
                 actions = jax.random.uniform(
-                    k_act, (cfg.n_envs, env.act_dim), minval=-1.0, maxval=1.0
+                    k, (cfg.n_envs, env.act_dim), minval=-1.0, maxval=1.0
                 )
             else:
                 z = model.get_context(
@@ -121,7 +119,9 @@ class MBTrainer:
                     hists.act,
                     hists.valid,
                 )
-                actions = self.planner.act(dyn_state, env_states.obs, z, k_act)
+                actions, plan_mu = self.planner.plan(
+                    dyn_state, env_states.obs, z, k, plan_mu
+                )
             prev_obs = env_states.obs
             ep_step = env_states.t
             next_states, obs, reward, done = jax.vmap(env.step)(
@@ -129,7 +129,10 @@ class MBTrainer:
             )
             buffer = buffer.append(prev_obs, actions, obs, done, ep_step)
             pushed = jax.vmap(History.push)(hists, obs - prev_obs, actions)
-            # Auto-reset wipes the context window (new episode, new params).
+            # Auto-reset wipes the context window and warm-start plan
+            # (new episode, new params).
+            done_b = done.reshape((-1, 1, 1))
+            plan_mu = jnp.where(done_b, jnp.zeros_like(plan_mu), plan_mu)
             hists = jax.tree.map(
                 lambda new: jnp.where(
                     done.reshape((-1,) + (1,) * (new.ndim - 1)),
@@ -141,11 +144,18 @@ class MBTrainer:
             ret_acc = ret_acc + reward
             ep_return = jnp.where(done, ret_acc, jnp.nan)
             ret_acc = jnp.where(done, 0.0, ret_acc)
-            return (next_states, hists, buffer, ret_acc), (ep_return, reward)
+            return (
+                (next_states, hists, buffer, ret_acc, plan_mu),
+                (ep_return, reward),
+            )
 
         keys = jax.random.split(rng, cfg.steps_per_itr)
-        (env_states, hists, buffer, _), (ep_returns, rewards) = jax.lax.scan(
-            step, (env_states, hists, buffer, jnp.zeros(cfg.n_envs)), keys
+        carry0 = (
+            env_states, hists, buffer, jnp.zeros(cfg.n_envs),
+            self.planner.init_plan(cfg.n_envs),
+        )
+        (env_states, hists, buffer, _, _), (ep_returns, rewards) = jax.lax.scan(
+            step, carry0, keys
         )
         finished = jnp.isfinite(ep_returns)
         mean_return = jnp.where(
@@ -219,12 +229,14 @@ class MBTrainer:
         )(jnp.arange(cfg.eval_envs))
 
         def step(carry, k):
-            states, hists, ret, alive = carry
+            states, hists, ret, alive, plan_mu = carry
             z = model.get_context(
                 dyn_state.params, dyn_state.norm,
                 hists.dobs, hists.act, hists.valid,
             )
-            actions = self.planner.act(dyn_state, states.obs, z, k)
+            actions, plan_mu = self.planner.plan(
+                dyn_state, states.obs, z, k, plan_mu
+            )
             prev_obs = states.obs
             next_states, obs, reward, done = jax.vmap(
                 lambda s, a: env.step(s, a, mode)
@@ -233,12 +245,16 @@ class MBTrainer:
             # accumulate a single episode per env (stop at first done)
             ret = ret + reward * alive
             alive = alive * (1.0 - done.astype(jnp.float32))
-            return (next_states, hists, ret, alive), done
+            return (next_states, hists, ret, alive, plan_mu), done
 
         keys = jax.random.split(r_run, env.horizon)
-        (_, _, returns, _), _ = jax.lax.scan(
+        (_, _, returns, _, _), _ = jax.lax.scan(
             step,
-            (states, hists, jnp.zeros(cfg.eval_envs), jnp.ones(cfg.eval_envs)),
+            (
+                states, hists, jnp.zeros(cfg.eval_envs),
+                jnp.ones(cfg.eval_envs),
+                self.planner.init_plan(cfg.eval_envs),
+            ),
             keys,
         )
         return returns

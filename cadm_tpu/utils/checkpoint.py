@@ -11,8 +11,6 @@ from __future__ import annotations
 import os
 from typing import Any, Optional
 
-import jax
-
 
 class Checkpointer:
     def __init__(self, directory: str, keep: int = 3, save_buffer: bool = True):

@@ -126,3 +126,33 @@ def test_ensemble_planner_shapes():
     a = planner.act(state, obs, z, jax.random.key(0))
     assert a.shape == (6, ACT)
     assert bool(jnp.isfinite(a).all())
+
+
+def test_warm_start_plan_threading():
+    """Warm-started CEM returns plan means and improves/keeps performance."""
+    model, state = _train_pointmass_model()
+    planner = MPCPlanner(
+        PlannerConfig(kind="cem", horizon=10, n_candidates=48, cem_iters=3,
+                      cem_elites=8, warm_start=True),
+        model, reward_fn, act_dim=ACT,
+    )
+    obs = jnp.array([[1.5, 0.0], [0.5, -0.2]])
+    z = jnp.zeros((2, 0))
+    mu = planner.init_plan(2)
+    assert mu.shape == (2, 10, ACT)
+
+    @jax.jit
+    def run(obs, mu, rng):
+        def body(carry, k):
+            obs, mu = carry
+            a, mu = planner.plan(state, obs, z, k, mu)
+            nxt = jnp.stack(
+                [obs[:, 0] + 0.1 * obs[:, 1], obs[:, 1] + 0.1 * a[:, 0]], -1
+            )
+            return (nxt, mu), nxt[:, 0]
+        keys = jax.random.split(rng, 50)
+        (obs, mu), xs = jax.lax.scan(body, (obs, mu), keys)
+        return obs, xs
+
+    final, xs = run(obs, mu, jax.random.key(0))
+    assert float(jnp.abs(final[:, 0]).max()) < 0.4
