@@ -27,6 +27,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--exp-name", default=None)
     p.add_argument("--log-dir", default="data")
     p.add_argument("--checkpoint", action="store_true")
+    p.add_argument(
+        "--dump-trajs", action="store_true",
+        help="stream collected trajectories to the native async sink",
+    )
     p.add_argument("--dp", type=int, default=0, help="data-parallel mesh axis")
     p.add_argument("--model-par", type=int, default=1, help="ensemble-member mesh axis")
     for f in dataclasses.fields(ExperimentConfig):
@@ -73,9 +77,24 @@ def main(argv=None):
     ckpt = (
         Checkpointer(f"{logger.dir}/checkpoints") if args.checkpoint else None
     )
+    sink = None
+    if args.dump_trajs:
+        from cadm_tpu.utils.trajsink import TrajectorySink
+
+        if TrajectorySink.available():
+            sink = TrajectorySink(f"{logger.dir}/trajectories.bin")
+        else:
+            logger.log("native trajsink unavailable; --dump-trajs ignored")
     dyn_state, history = trainer.train(
-        jax.random.key(cfg.seed), logger=logger, checkpointer=ckpt
+        jax.random.key(cfg.seed), logger=logger, checkpointer=ckpt,
+        traj_sink=sink,
     )
+    if sink is not None:
+        sink.flush()
+        logger.log(
+            f"trajectories.bin: {sink.written} records, {sink.dropped} dropped"
+        )
+        sink.close()
     if ckpt is not None:
         ckpt.close()
     logger.log("done.")

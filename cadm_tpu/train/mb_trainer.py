@@ -260,8 +260,16 @@ class MBTrainer:
         return returns
 
     # ------------------------------------------------------------ train --
-    def train(self, rng: Array, logger=None, checkpointer=None):
-        """Run the full outer loop; returns final (dyn_state, metrics_history)."""
+    def train(self, rng: Array, logger=None, checkpointer=None, traj_sink=None):
+        """Run the full outer loop; returns final (dyn_state, metrics_history).
+
+        ``traj_sink``: optional cadm_tpu.utils.trajsink.TrajectorySink — each
+        iteration's newly collected transitions are handed to the native
+        async writer (one device→host transfer per iteration, never blocking
+        the jitted loop).
+        """
+        import numpy as _np
+
         r_init, rng = jax.random.split(rng)
         env_states, hists, buffer, dyn_state = self.init(r_init)
         history = []
@@ -288,4 +296,15 @@ class MBTrainer:
                 logger.dumpkvs()
             if checkpointer is not None:
                 checkpointer.save(itr, dyn_state)
+            if traj_sink is not None:
+                n = self.cfg.steps_per_itr
+                end = int(buffer.ptr)
+                sl = _np.arange(end - n, end) % buffer.capacity
+                for name, field in (
+                    ("obs", buffer.obs), ("act", buffer.act),
+                    ("next_obs", buffer.next_obs),
+                ):
+                    traj_sink.append(
+                        f"itr{itr}/{name}", _np.asarray(field[:, sl])
+                    )
         return dyn_state, history
