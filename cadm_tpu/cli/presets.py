@@ -26,7 +26,7 @@ class ExperimentConfig:
     env: str = "cartpole"
     n_envs: int = 16
     # model
-    model: str = "cadm"           # vanilla | stacked | cadm
+    model: str = "cadm"           # vanilla | stacked | cadm | rnn
     ensemble: int = 1             # >1 = PE-TS-style probabilistic ensemble
     probabilistic: bool = False
     hidden: Tuple[int, ...] = (200, 200, 200, 200)
@@ -58,9 +58,12 @@ class ExperimentConfig:
                 f"n_envs/eval_envs must be >= 1, got {self.n_envs}/{self.eval_envs}"
             )
         env = make(self.env)
-        context = {"vanilla": "none", "stacked": "stacked", "cadm": "encoder"}[
-            self.model
-        ]
+        context = {
+            "vanilla": "none",
+            "stacked": "stacked",
+            "cadm": "encoder",
+            "rnn": "rnn",
+        }[self.model]
         model = Dynamics(
             DynamicsConfig(
                 obs_dim=env.obs_dim,
