@@ -26,7 +26,7 @@ class ExperimentConfig:
     env: str = "cartpole"
     n_envs: int = 16
     # model
-    model: str = "cadm"           # vanilla | stacked | cadm | rnn
+    model: str = "cadm"           # vanilla | stacked | cadm | rnn | grbal
     ensemble: int = 1             # >1 = PE-TS-style probabilistic ensemble
     probabilistic: bool = False
     hidden: Tuple[int, ...] = (200, 200, 200, 200)
@@ -58,6 +58,8 @@ class ExperimentConfig:
                 f"n_envs/eval_envs must be >= 1, got {self.n_envs}/{self.eval_envs}"
             )
         env = make(self.env)
+        if self.model == "grbal":
+            return self._build_grbal(env, mesh)
         context = {
             "vanilla": "none",
             "stacked": "stacked",
@@ -96,6 +98,49 @@ class ExperimentConfig:
             env,
             model,
             planner,
+            TrainerConfig(
+                n_envs=self.n_envs,
+                steps_per_itr=self.steps_per_itr,
+                n_itr=self.n_itr,
+                model_updates_per_itr=self.model_updates_per_itr,
+                batch_size=self.batch_size,
+                buffer_capacity=self.buffer_capacity,
+                eval_envs=self.eval_envs,
+                eval_modes=self.eval_modes,
+            ),
+            mesh=mesh,
+        )
+        return env, model, planner, trainer
+
+    def _build_grbal(self, env, mesh):
+        from cadm_tpu.models.grbal import GrBAL, GrBALConfig
+        from cadm_tpu.planners.grbal_mpc import GrBALPlanner
+
+        model = GrBAL(
+            GrBALConfig(
+                obs_dim=env.obs_dim,
+                act_dim=env.act_dim,
+                hidden=self.hidden[:3],
+                history_k=self.history_k,
+                future_m=self.future_m,
+                lr=self.lr,
+            )
+        )
+        planner = GrBALPlanner(
+            PlannerConfig(
+                kind=self.planner,
+                horizon=self.plan_horizon,
+                n_candidates=self.n_candidates,
+                cem_iters=self.cem_iters,
+                cem_elites=self.cem_elites,
+                warm_start=self.warm_start,
+            ),
+            model,
+            env.reward,
+            env.act_dim,
+        )
+        trainer = MBTrainer(
+            env, model, planner,
             TrainerConfig(
                 n_envs=self.n_envs,
                 steps_per_itr=self.steps_per_itr,

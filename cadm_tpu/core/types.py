@@ -53,12 +53,15 @@ class History:
     consume it without gather.
 
     Attributes:
+      obs:   (K, obs_dim) past observations (transition starts), oldest
+             first — consumed by gradient-adaptation models (GrBAL).
       dobs:  (K, obs_dim) past observation differences, oldest first.
       act:   (K, act_dim) past actions, oldest first.
       valid: (K,) 1.0 where the slot holds a real transition (post-reset
              slots are zero-padded and masked).
     """
 
+    obs: Array
     dobs: Array
     act: Array
     valid: Array
@@ -66,24 +69,22 @@ class History:
     @staticmethod
     def zeros(k: int, obs_dim: int, act_dim: int, dtype=jnp.float32) -> "History":
         return History(
+            obs=jnp.zeros((k, obs_dim), dtype),
             dobs=jnp.zeros((k, obs_dim), dtype),
             act=jnp.zeros((k, act_dim), dtype),
             valid=jnp.zeros((k,), dtype),
         )
 
-    def push(self, dobs: Array, act: Array) -> "History":
+    def push(self, obs: Array, dobs: Array, act: Array) -> "History":
         return History(
+            obs=jnp.roll(self.obs, -1, axis=0).at[-1].set(obs),
             dobs=jnp.roll(self.dobs, -1, axis=0).at[-1].set(dobs),
             act=jnp.roll(self.act, -1, axis=0).at[-1].set(act),
             valid=jnp.roll(self.valid, -1, axis=0).at[-1].set(1.0),
         )
 
     def reset(self) -> "History":
-        return History(
-            dobs=jnp.zeros_like(self.dobs),
-            act=jnp.zeros_like(self.act),
-            valid=jnp.zeros_like(self.valid),
-        )
+        return jax.tree.map(jnp.zeros_like, self)
 
     def flat(self) -> Array:
         """Masked, flattened (K*(obs_dim+act_dim),) encoder input."""

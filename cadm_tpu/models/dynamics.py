@@ -178,6 +178,17 @@ class Dynamics:
         )
 
     # ---------------------------------------------------------- context --
+    def context_from_history(self, params: PyTree, norm: NormStats, hists):
+        """Model-agnostic context hook: consume a (batched) History pytree.
+
+        Planners treat the result as an opaque per-env context — an array
+        here; gradient-adaptation models (GrBAL) return adapted parameter
+        pytrees instead.
+        """
+        return self.get_context(
+            params, norm, hists.dobs, hists.act, hists.valid
+        )
+
     def get_context(
         self,
         params: PyTree,

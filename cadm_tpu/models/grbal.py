@@ -39,6 +39,7 @@ class GrBALConfig:
     inner_steps: int = 1
     lr: float = 1e-3
     grad_clip: float = 10.0
+    n_members: int = 1  # API parity with DynamicsConfig (always 1)
 
 
 @struct.dataclass
@@ -112,7 +113,13 @@ class GrBAL:
 
         ``batch`` leaves are (B, ...): every segment adapts its own fast
         weights (vmap), meta-gradient flows through the inner update.
+        Member-leading trainer batches (N, B, ...) are flattened — GrBAL has
+        a single meta-network.
         """
+        if batch.valid.ndim == 3:
+            batch = jax.tree.map(
+                lambda x: x.reshape((-1,) + x.shape[2:]), batch
+            )
 
         def per_segment(b: SegmentBatch):
             net = self.adapt(
@@ -124,7 +131,23 @@ class GrBAL:
         losses = jax.vmap(per_segment)(batch)
         return jnp.mean(losses), {"model_loss": jnp.mean(losses)}
 
+    def context_from_history(self, params: PyTree, norm: NormStats, hists):
+        """Per-env ADAPTED fast weights from the history window.
+
+        Unlike the CaDM latent, GrBAL's "context" is a parameter pytree —
+        the planner (planners.grbal_mpc.GrBALPlanner) rolls the model with
+        these adapted weights (the MAML-at-test-time semantics).
+        """
+        return jax.vmap(
+            lambda o, d, a, v: self.adapt(params, norm, o, a, d, v)
+        )(hists.obs, hists.dobs, hists.act, hists.valid)
+
     def update(self, state: GrBALState, batch: SegmentBatch):
+        # accept trainer-style member-leading batches by flattening
+        if batch.valid.ndim == 3:
+            batch = jax.tree.map(
+                lambda x: x.reshape((-1,) + x.shape[2:]), batch
+            )
         (loss, metrics), grads = jax.value_and_grad(
             lambda p: self.loss(p, state.norm, batch), has_aux=True
         )(state.params)

@@ -112,12 +112,8 @@ class MBTrainer:
                     k, (cfg.n_envs, env.act_dim), minval=-1.0, maxval=1.0
                 )
             else:
-                z = model.get_context(
-                    dyn_state.params,
-                    dyn_state.norm,
-                    hists.dobs,
-                    hists.act,
-                    hists.valid,
+                z = model.context_from_history(
+                    dyn_state.params, dyn_state.norm, hists
                 )
                 actions, plan_mu = self.planner.plan(
                     dyn_state, env_states.obs, z, k, plan_mu
@@ -128,7 +124,7 @@ class MBTrainer:
                 env_states, actions
             )
             buffer = buffer.append(prev_obs, actions, obs, done, ep_step)
-            pushed = jax.vmap(History.push)(hists, obs - prev_obs, actions)
+            pushed = jax.vmap(History.push)(hists, prev_obs, obs - prev_obs, actions)
             # Auto-reset wipes the context window and warm-start plan
             # (new episode, new params).
             done_b = done.reshape((-1, 1, 1))
@@ -230,9 +226,8 @@ class MBTrainer:
 
         def step(carry, k):
             states, hists, ret, alive, plan_mu = carry
-            z = model.get_context(
-                dyn_state.params, dyn_state.norm,
-                hists.dobs, hists.act, hists.valid,
+            z = model.context_from_history(
+                dyn_state.params, dyn_state.norm, hists
             )
             actions, plan_mu = self.planner.plan(
                 dyn_state, states.obs, z, k, plan_mu
@@ -241,7 +236,7 @@ class MBTrainer:
             next_states, obs, reward, done = jax.vmap(
                 lambda s, a: env.step(s, a, mode)
             )(states, actions)
-            hists = jax.vmap(History.push)(hists, obs - prev_obs, actions)
+            hists = jax.vmap(History.push)(hists, prev_obs, obs - prev_obs, actions)
             # accumulate a single episode per env (stop at first done)
             ret = ret + reward * alive
             alive = alive * (1.0 - done.astype(jnp.float32))

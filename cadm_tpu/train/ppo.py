@@ -142,9 +142,8 @@ class PPOTrainer:
         def step(carry, k):
             env_states, hists, buffer = carry
             z = jax.lax.stop_gradient(
-                model.get_context(
-                    dyn_state.params, dyn_state.norm,
-                    hists.dobs, hists.act, hists.valid,
+                model.context_from_history(
+                    dyn_state.params, dyn_state.norm, hists
                 )
             )
             obs_z = jnp.concatenate([env_states.obs, z], axis=-1)
@@ -161,7 +160,7 @@ class PPOTrainer:
                 env_states, act
             )
             buffer = buffer.append(prev_obs, act, obs, done, ep_step)
-            pushed = jax.vmap(History.push)(hists, obs - prev_obs, act)
+            pushed = jax.vmap(History.push)(hists, prev_obs, obs - prev_obs, act)
             hists = jax.tree.map(
                 lambda new: jnp.where(
                     done.reshape((-1,) + (1,) * (new.ndim - 1)),
@@ -181,9 +180,8 @@ class PPOTrainer:
             step, (env_states, hists, buffer), keys
         )
         # bootstrap value of final state
-        z = model.get_context(
-            dyn_state.params, dyn_state.norm,
-            hists.dobs, hists.act, hists.valid,
+        z = model.context_from_history(
+            dyn_state.params, dyn_state.norm, hists
         )
         obs_z = jnp.concatenate([env_states.obs, z], axis=-1)
         last_value = mlp_apply(

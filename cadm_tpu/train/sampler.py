@@ -64,7 +64,7 @@ class Sampler:
             next_states, obs, reward, done = jax.vmap(
                 lambda s, a: env.step(s, a, self.mode)
             )(states, actions)
-            pushed = jax.vmap(History.push)(hists, obs - prev_obs, actions)
+            pushed = jax.vmap(History.push)(hists, prev_obs, obs - prev_obs, actions)
             hists = jax.tree.map(
                 lambda x: jnp.where(
                     done.reshape((-1,) + (1,) * (x.ndim - 1)),

@@ -47,3 +47,36 @@ def test_grbal_adaptation_helps():
     assert float(l1.mean()) < float(l0.mean()), (
         float(l0.mean()), float(l1.mean())
     )
+
+
+def test_grbal_full_trainer_loop():
+    """GrBAL as the trainer's model: adaptation context + MPC end-to-end."""
+    import numpy as np
+    from cadm_tpu.envs.cartpole import CartPoleEnv
+    from cadm_tpu.planners.grbal_mpc import GrBALPlanner
+    from cadm_tpu.planners.mpc import PlannerConfig
+    from cadm_tpu.train.mb_trainer import MBTrainer, TrainerConfig
+
+    env = CartPoleEnv()
+    model = GrBAL(
+        GrBALConfig(
+            obs_dim=env.obs_dim, act_dim=env.act_dim, hidden=(32, 32),
+            history_k=5, future_m=3, inner_lr=0.02, lr=3e-3,
+        )
+    )
+    planner = GrBALPlanner(
+        PlannerConfig(kind="cem", horizon=6, n_candidates=24, cem_iters=2,
+                      cem_elites=6),
+        model, env.reward, env.act_dim,
+    )
+    trainer = MBTrainer(
+        env, model, planner,
+        TrainerConfig(
+            n_envs=4, steps_per_itr=120, n_itr=2, model_updates_per_itr=40,
+            batch_size=32, buffer_capacity=300, eval_envs=4, eval_modes=(0,),
+        ),
+    )
+    dyn_state, history = trainer.train(jax.random.key(0))
+    assert len(history) == 2
+    assert np.isfinite(history[-1]["fit/model_loss_last"])
+    assert np.isfinite(history[-1]["eval/return_mode0"])
