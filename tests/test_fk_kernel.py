@@ -24,7 +24,7 @@ def _state(sys_, seed=0, n=None):
     return jnp.asarray(qpos), jnp.asarray(qvel)
 
 
-@pytest.mark.parametrize("asset", ["half_cheetah.xml", "ant.xml"])
+@pytest.mark.parametrize("asset", ["half_cheetah.xml", "ant.xml", "hopper.xml"])
 def test_analytic_bias_matches_jvp(asset):
     sys_ = load_system(asset)
     qpos, qvel = _state(sys_)
@@ -35,7 +35,7 @@ def test_analytic_bias_matches_jvp(asset):
     assert float(jnp.abs(c_new - c_old).max()) / scale < 1e-5
 
 
-@pytest.mark.parametrize("asset", ["half_cheetah.xml", "ant.xml"])
+@pytest.mark.parametrize("asset", ["half_cheetah.xml", "ant.xml", "hopper.xml"])
 def test_fk_kernel_matches_pure(asset):
     sys_ = load_system(asset)
     qpos, qvel = _state(sys_, n=4)
