@@ -28,6 +28,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log-dir", default="data")
     p.add_argument("--checkpoint", action="store_true")
     p.add_argument(
+        "--resume", action="store_true",
+        help="restore the latest checkpoint in the experiment dir and continue",
+    )
+    p.add_argument(
         "--dump-trajs", action="store_true",
         help="stream collected trajectories to the native async sink",
     )
@@ -75,8 +79,16 @@ def main(argv=None):
 
     env, model, planner, trainer = cfg.build(mesh=mesh)
     ckpt = (
-        Checkpointer(f"{logger.dir}/checkpoints") if args.checkpoint else None
+        Checkpointer(f"{logger.dir}/checkpoints")
+        if (args.checkpoint or args.resume)
+        else None
     )
+    start_itr, init_state = 0, None
+    if args.resume and ckpt is not None and ckpt.latest_step is not None:
+        template = model.init_state(jax.random.key(0))
+        restored = ckpt.restore(template={"state": template})
+        init_state, start_itr = restored["state"], ckpt.latest_step + 1
+        logger.log(f"resumed from checkpoint step {ckpt.latest_step}")
     sink = None
     if args.dump_trajs:
         from cadm_tpu.utils.trajsink import TrajectorySink
@@ -87,7 +99,7 @@ def main(argv=None):
             logger.log("native trajsink unavailable; --dump-trajs ignored")
     dyn_state, history = trainer.train(
         jax.random.key(cfg.seed), logger=logger, checkpointer=ckpt,
-        traj_sink=sink,
+        traj_sink=sink, start_itr=start_itr, initial_dyn_state=init_state,
     )
     if sink is not None:
         sink.flush()

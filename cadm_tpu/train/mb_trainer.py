@@ -255,22 +255,31 @@ class MBTrainer:
         return returns
 
     # ------------------------------------------------------------ train --
-    def train(self, rng: Array, logger=None, checkpointer=None, traj_sink=None):
+    def train(self, rng: Array, logger=None, checkpointer=None, traj_sink=None,
+              start_itr: int = 0, initial_dyn_state=None):
         """Run the full outer loop; returns final (dyn_state, metrics_history).
 
         ``traj_sink``: optional cadm_tpu.utils.trajsink.TrajectorySink — each
         iteration's newly collected transitions are handed to the native
         async writer (one device→host transfer per iteration, never blocking
         the jitted loop).
+        ``start_itr``/``initial_dyn_state``: resume support — continue the
+        loop from a restored model state (replay is re-collected; the first
+        resumed iteration plans with the restored model rather than random).
         """
         import numpy as _np
 
         r_init, rng = jax.random.split(rng)
         env_states, hists, buffer, dyn_state = self.init(r_init)
+        if initial_dyn_state is not None:
+            dyn_state = initial_dyn_state
         history = []
-        for itr in range(self.cfg.n_itr):
+        for itr in range(start_itr, self.cfg.n_itr):
             rng, k_col, k_fit, k_eval = jax.random.split(rng, 4)
-            use_random = self.cfg.random_first_itr and itr == 0
+            use_random = (
+                self.cfg.random_first_itr and itr == 0
+                and initial_dyn_state is None
+            )
             collect = self._collect_random if use_random else self._collect_plan
             env_states, hists, buffer, col_metrics = collect(
                 k_col, env_states, hists, buffer, dyn_state
