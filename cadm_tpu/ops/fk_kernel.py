@@ -8,7 +8,7 @@ axes/anchors, body angular/linear velocities and the zero-q̈ bias
 accelerations — runs in ONE kernel per env block, all intermediates in
 vector registers / VMEM.
 
-Layout: env axis on lanes (BLOCK_E = 128). Every 3-vector / quaternion is a
+Layout: env axis on lanes (BLOCK_E envs per grid program). Every 3-vector / quaternion is a
 python TUPLE of (E,) lane-vectors — no stacking, no reshapes inside the
 kernel; every system constant is an immediate. The unroll is generated from
 the static System at trace time, so each System gets its own specialized
@@ -31,7 +31,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cadm_tpu.physics.rigid.system import FREE, HINGE, SLIDE, System
 
-BLOCK_E = 128
+# Large env blocks amortize per-grid-step overhead; VMEM per block stays ~2MB.
+BLOCK_E = 2048
 
 
 # ---- tuple-vector helpers (components are (E,) lane vectors) --------------

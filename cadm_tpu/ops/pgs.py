@@ -7,7 +7,7 @@ sweep, each a full HBM round-trip over the (batch, 3nc) impulse state —
 engine. Here the Delassus blocks are DMA'd to VMEM once and ALL sweeps run
 out of VMEM, so traffic drops to one read of A plus one write of λ.
 
-Layout: ENV AXIS ON LANES. Per grid program (BLOCK_E = 128 envs):
+Layout: ENV AXIS ON LANES. Per grid program (BLOCK_E envs):
   A      (3nc, 3nc, BLOCK_E)  Delassus operator, env minor-most
   b      (3nc, BLOCK_E)       Jv_pred (contact-frame velocity before impulse)
   vstar  (nc, BLOCK_E)        Baumgarte normal target velocity
@@ -27,7 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cadm_tpu.core.types import Array
 
-BLOCK_E = 128
+BLOCK_E = 512  # A block = 48*48*512*4B ≈ 4.7MB VMEM
 
 
 def _pgs_kernel(nc: int, iters: int, A_ref, b_ref, vstar_ref, actmu_ref, lam_ref):
