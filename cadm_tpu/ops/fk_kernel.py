@@ -136,6 +136,8 @@ def _fk_kernel(sys: System, qpos_ref, qvel_ref, pos_o, quat_o, com_o,
     vx = [z3] * nb
     al = [z3] * nb
     ax = [z3] * nb
+    axis_t = [z3] * sys.nv
+    anchor_t = [z3] * sys.nv
 
     for b in range(1, nb):
         p = int(sys.body_parent[b])
@@ -166,14 +168,11 @@ def _fk_kernel(sys: System, qpos_ref, qvel_ref, pos_o, quat_o, com_o,
                 a = z3
                 eye = ((ones, zero, zero), (zero, ones, zero), (zero, zero, ones))
                 for i in range(3):
-                    for d in range(3):
-                        axis_o[dadr + i, d] = eye[i][d]
-                        anchor_o[dadr + i, d] = zero
+                    axis_t[dadr + i] = eye[i]
+                    anchor_t[dadr + i] = z3
                 for i in range(3):
-                    col = _qrot(q, eye[i])
-                    for d in range(3):
-                        axis_o[dadr + 3 + i, d] = col[d]
-                        anchor_o[dadr + 3 + i, d] = x[d]
+                    axis_t[dadr + 3 + i] = _qrot(q, eye[i])
+                    anchor_t[dadr + 3 + i] = x
             elif jt == SLIDE:
                 a_w = _qrot(q, _const_vec(sys.jnt_axis[j], zero))
                 s = qpos_ref[qadr] - float(sys.qpos0[qadr])
@@ -191,9 +190,8 @@ def _fk_kernel(sys: System, qpos_ref, qvel_ref, pos_o, quat_o, com_o,
                         _scale(wxa, 2.0 * sd),
                     ),
                 )
-                for d in range(3):
-                    axis_o[dadr, d] = a_w[d]
-                    anchor_o[dadr, d] = x[d]
+                axis_t[dadr] = a_w
+                anchor_t[dadr] = x
             elif jt == HINGE:
                 a_w = _qrot(q, _const_vec(sys.jnt_axis[j], zero))
                 o_w = _add(x, _qrot(q, _const_vec(sys.jnt_pos[j], zero)))
@@ -219,12 +217,12 @@ def _fk_kernel(sys: System, qpos_ref, qvel_ref, pos_o, quat_o, com_o,
                     _cross(om_new, _cross(om_new, rel_n)),
                 )
                 om, alp = om_new, alp_new
-                for d in range(3):
-                    axis_o[dadr, d] = a_w[d]
-                    anchor_o[dadr, d] = o_w[d]
+                axis_t[dadr] = a_w
+                anchor_t[dadr] = o_w
         pos[b], quat[b] = x, q
         w[b], vx[b], al[b], ax[b] = om, v, alp, a
 
+    coms, vcoms, acoms = [], [], []
     for b in range(nb):
         rc = _qrot(quat[b], _const_vec(sys.body_ipos[b], zero))
         com = _add(pos[b], rc)
@@ -233,6 +231,9 @@ def _fk_kernel(sys: System, qpos_ref, qvel_ref, pos_o, quat_o, com_o,
             _add(ax[b], _cross(al[b], rc)),
             _cross(w[b], _cross(w[b], rc)),
         )
+        coms.append(com)
+        vcoms.append(vcom)
+        acoms.append(acom)
         for d in range(3):
             pos_o[b, d] = pos[b][d]
             com_o[b, d] = com[d]
@@ -242,6 +243,15 @@ def _fk_kernel(sys: System, qpos_ref, qvel_ref, pos_o, quat_o, com_o,
             acom_o[b, d] = acom[d]
         for d in range(4):
             quat_o[b, d] = quat[b][d]
+    for v in range(sys.nv):
+        for d in range(3):
+            axis_o[v, d] = axis_t[v][d]
+            anchor_o[v, d] = anchor_t[v][d]
+    # internal structures for the fused full-dynamics kernel
+    return dict(
+        pos=pos, quat=quat, omega=w, alpha=al, com=coms, vcom=vcoms,
+        acom=acoms, axis=axis_t, anchor=anchor_t,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("sys", "interpret"))
@@ -280,6 +290,288 @@ def fk_vel_pallas(sys: System, qpos, qvel, interpret: bool = False):
 
     # ONE transpose back to env-major, then static slicing per field
     flat = merged.T[:e]  # (E, total_rows)
+    return {
+        name: flat[:, off: off + rows * comps].reshape(e, rows, comps)
+        for name, (off, rows, comps) in layout.items()
+    }
+
+
+# ===== full smooth-dynamics kernel ==========================================
+# Extends the FK walk with everything up to the pre-contact velocity:
+# world inertias, joint-space mass matrix (tree-sparse assembly), bias
+# projection, actuation + passive forces, implicit-damping system matrix,
+# unrolled Cholesky inverse, and v_pred = qvel + dt·M⁻¹τ — one kernel, zero
+# HBM round-trips between those stages. Only the contact stage (Delassus
+# matmuls + the PGS kernel) stays outside. Systems with large nv (humanoid)
+# fall back to the composed path — see physics/rigid/dynamics.py dispatch.
+
+FULL_DYN_MAX_NV = 16
+
+
+def _row_layout_full(sys: System):
+    layout, off = _row_layout(sys)
+    nv = sys.nv
+    layout = dict(layout)
+    layout["minv"] = (off, nv, nv)
+    off += nv * nv
+    layout["v_pred"] = (off, nv, 1)
+    off += nv
+    return layout, off
+
+
+def _quat_to_R(q):
+    """3x3 rotation entries (tuple-of-tuples) from tuple quaternion."""
+    w, x, y, z = q
+    return (
+        (1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)),
+        (2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)),
+        (2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)),
+    )
+
+
+def _full_dyn_kernel(sys: System, qpos_ref, qvel_ref, ctrl_ref, par_ref, out_ref):
+    from cadm_tpu.physics.rigid.system import HINGE as _H, SLIDE as _S
+
+    layout, _ = _row_layout_full(sys)
+    views = {name: _FieldView(out_ref, layout[name]) for name in layout}
+    st = _fk_kernel(
+        sys, qpos_ref, qvel_ref,
+        views["pos"], views["quat"], views["com"], views["omega"],
+        views["v_com"], views["alpha0"], views["a_com0"],
+        views["dof_axis"], views["dof_anchor"],
+    )
+
+    nb, nv, nu = sys.nb, sys.nv, sys.nu
+    zero = qpos_ref[0] * 0.0
+    mass_scale = par_ref[0]
+    damping_scale = par_ref[1]
+
+    mask = sys.ancestry_mask()                      # (nb, nv) static bool
+    is_rot = np.zeros((nv,), bool)
+    for j in range(sys.nj):
+        jt = int(sys.jnt_type[j])
+        d0 = int(sys.jnt_dofadr[j])
+        if jt == FREE:
+            is_rot[d0 + 3: d0 + 6] = True
+        elif jt == _H:
+            is_rot[d0] = True
+
+    def dot3(a, b):
+        return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+    g = tuple(float(x) for x in sys.gravity)
+
+    # per-body world inertia (×mass_scale), bias force & torque
+    f_b, t_b, Iw_b = [], [], []
+    for b in range(nb):
+        # inertial-frame orientation: body quat composed with static iquat
+        q_i = _qmul(st["quat"][b], _const_vec(sys.body_iquat[b], zero))
+        R = _quat_to_R(q_i)
+        Idiag = [float(x) for x in sys.body_inertia[b]]
+        Iw = [[None] * 3 for _ in range(3)]
+        for i in range(3):
+            for jj in range(i, 3):
+                Iw[i][jj] = (
+                    R[i][0] * Idiag[0] * R[jj][0]
+                    + R[i][1] * Idiag[1] * R[jj][1]
+                    + R[i][2] * Idiag[2] * R[jj][2]
+                ) * mass_scale
+                Iw[jj][i] = Iw[i][jj]
+        Iw_b.append(Iw)
+        m = float(sys.body_mass[b]) * mass_scale
+        acom = st["acom"][b]
+        f_b.append(tuple(m * (acom[i] - g[i]) for i in range(3)))
+        om, alp = st["omega"][b], st["alpha"][b]
+
+        def mat3(Iw, v):
+            return tuple(
+                Iw[i][0] * v[0] + Iw[i][1] * v[1] + Iw[i][2] * v[2]
+                for i in range(3)
+            )
+
+        t_b.append(_add(mat3(Iw, alp), _cross(om, mat3(Iw, om))))
+
+    # dof columns at body COMs (tree-sparse)
+    desc = [list(np.nonzero(mask[:, d])[0]) for d in range(nv)]
+    col = {}
+    for d in range(nv):
+        for b in desc[d]:
+            if is_rot[d]:
+                col[(d, b)] = _cross(
+                    st["axis"][d], _sub(st["com"][b], st["anchor"][d])
+                )
+            else:
+                col[(d, b)] = st["axis"][d]
+
+    # bias projection c and generalized force tau
+    tau = []
+    for d in range(nv):
+        c_d = zero
+        for b in desc[d]:
+            c_d = c_d + dot3(col[(d, b)], f_b[b])
+            if is_rot[d]:
+                c_d = c_d + dot3(st["axis"][d], t_b[b])
+        B_d = float(sys.dof_damping[d]) * damping_scale
+        tau.append(-c_d - B_d * qvel_ref[d])
+    # actuation through gears (static dof map)
+    for a in range(nu):
+        dof = int(sys.jnt_dofadr[int(sys.act_joint[a])])
+        lo, hi = float(sys.act_ctrlrange[a, 0]), float(sys.act_ctrlrange[a, 1])
+        force = (
+            jnp.clip(ctrl_ref[a], lo, hi)
+            * float(sys.act_gear[a])
+            * par_ref[2 + a]
+        )
+        tau[dof] = tau[dof] + force
+    # passive springs + joint-limit penalties (1-dof joints)
+    for j in range(sys.nj):
+        jt = int(sys.jnt_type[j])
+        if jt not in (_H, _S):
+            continue
+        qadr, dadr = int(sys.jnt_qposadr[j]), int(sys.jnt_dofadr[j])
+        qj = qpos_ref[qadr]
+        k_spring = float(sys.jnt_stiffness[j])
+        if k_spring > 0.0:
+            tau[dadr] = tau[dadr] - k_spring * (
+                qj - float(sys.qpos_spring[qadr])
+            )
+        if bool(sys.jnt_limited[j]):
+            lo, hi = float(sys.jnt_range[j, 0]), float(sys.jnt_range[j, 1])
+            viol_hi = jnp.maximum(qj - hi, 0.0)
+            viol_lo = jnp.maximum(lo - qj, 0.0)
+            active = ((viol_hi > 0) | (viol_lo > 0)).astype(qj.dtype)
+            tau[dadr] = (
+                tau[dadr]
+                - sys.limit_stiffness * (viol_hi - viol_lo)
+                - sys.limit_damping * qvel_ref[dadr] * active
+            )
+
+    # mass matrix (tree-sparse entries; dense lower-triangular container)
+    M = [[None] * nv for _ in range(nv)]
+    for d in range(nv):
+        for e in range(d, nv):
+            common = [b for b in desc[e] if mask[b, d]]
+            if not common and d != e:
+                continue
+            acc = zero
+            for b in common:
+                m = float(sys.body_mass[b]) * mass_scale
+                acc = acc + m * dot3(col[(d, b)], col[(e, b)])
+                if is_rot[d] and is_rot[e]:
+                    Iw = Iw_b[b]
+                    av = st["axis"][d]
+                    bv = st["axis"][e]
+                    acc = acc + dot3(
+                        av,
+                        (
+                            Iw[0][0] * bv[0] + Iw[0][1] * bv[1] + Iw[0][2] * bv[2],
+                            Iw[1][0] * bv[0] + Iw[1][1] * bv[1] + Iw[1][2] * bv[2],
+                            Iw[2][0] * bv[0] + Iw[2][1] * bv[1] + Iw[2][2] * bv[2],
+                        ),
+                    )
+            if d == e:
+                acc = acc + float(sys.dof_armature[d]) + sys.dt * (
+                    float(sys.dof_damping[d]) * damping_scale
+                )
+            M[d][e] = acc
+            M[e][d] = acc
+
+    def ent(i, jj):
+        v = M[i][jj]
+        return zero if v is None else v
+
+    # unrolled dense Cholesky + inverse (nv is small and static)
+    L = [[None] * nv for _ in range(nv)]
+    for j in range(nv):
+        s = ent(j, j)
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        L[j][j] = jnp.sqrt(jnp.maximum(s, 1e-12))
+        inv_jj = 1.0 / L[j][j]
+        for i in range(j + 1, nv):
+            s = ent(i, j)
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv_jj
+    Linv = [[None] * nv for _ in range(nv)]
+    for j in range(nv):
+        Linv[j][j] = 1.0 / L[j][j]
+        for i in range(j + 1, nv):
+            s = zero
+            for k in range(j, i):
+                s = s - L[i][k] * Linv[k][j]
+            Linv[i][j] = s / L[i][i]
+    for a in range(nv):
+        for b in range(a, nv):
+            s = zero
+            for k in range(b, nv):
+                s = s + Linv[k][a] * Linv[k][b]
+            views["minv"][a, b] = s
+            if a != b:
+                views["minv"][b, a] = s
+    # v_pred = qvel + dt * Minv @ tau  (recompute Minv rows from Linv sums)
+    for d in range(nv):
+        acc = zero
+        for e in range(nv):
+            s = zero
+            for k in range(max(d, e), nv):
+                s = s + Linv[k][d] * Linv[k][e]
+            acc = acc + s * tau[e]
+        views["v_pred"][d, 0] = qvel_ref[d] + sys.dt * acc
+
+
+@functools.partial(jax.jit, static_argnames=("sys", "interpret", "block"))
+def full_dyn_pallas(
+    sys: System, qpos, qvel, ctrl, mass_scale, damping_scale, act_mask,
+    interpret: bool = False, block: int = BLOCK_E,
+):
+    """Batched fused smooth-dynamics step (everything but contacts).
+
+    qpos (E,nq), qvel (E,nv), ctrl (E,nu), mass/damping scales (E,),
+    act_mask (E,nu) → dict of FK fields + minv (E,nv,nv) + v_pred (E,nv).
+    """
+    e = qpos.shape[0]
+    pad = (-e) % block
+    if pad:
+        filler = jnp.tile(jnp.asarray(sys.default_qpos())[None], (pad, 1))
+        qpos = jnp.concatenate([qpos, filler.astype(qpos.dtype)], axis=0)
+        qvel = jnp.pad(qvel, ((0, pad), (0, 0)))
+        ctrl = jnp.pad(ctrl, ((0, pad), (0, 0)))
+        mass_scale = jnp.pad(mass_scale, ((0, pad),), constant_values=1.0)
+        damping_scale = jnp.pad(damping_scale, ((0, pad),), constant_values=1.0)
+        act_mask = jnp.pad(act_mask, ((0, pad), (0, 0)))
+    ep = qpos.shape[0]
+    par = jnp.concatenate(
+        [mass_scale[:, None], damping_scale[:, None], act_mask], axis=1
+    ).T  # (2+nu, E)
+
+    layout, total_rows = _row_layout_full(sys)
+    grid = (ep // block,)
+    merged = pl.pallas_call(
+        functools.partial(_full_dyn_kernel, sys),
+        out_shape=jax.ShapeDtypeStruct((total_rows, ep), qpos.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (sys.nq, block), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (sys.nv, block), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (sys.nu, block), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (2 + sys.nu, block), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (total_rows, block), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(qpos.T, qvel.T, ctrl.T, par)
+
+    flat = merged.T[:e]
     return {
         name: flat[:, off: off + rows * comps].reshape(e, rows, comps)
         for name, (off, rows, comps) in layout.items()

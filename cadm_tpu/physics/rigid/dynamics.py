@@ -386,6 +386,80 @@ def _fkvel_dispatch(sys: System):
     return fkvel
 
 
+@lru_cache(maxsize=None)
+def _smooth_dispatch(sys: System):
+    """Smooth-dynamics stage (everything before contacts) with kernel fusion.
+
+    Returns (fkv, Minv, v_pred). Unbatched / non-TPU / large-nv systems use
+    the composed pure-JAX path; the vmapped TPU path for nv ≤ FULL_DYN_MAX_NV
+    runs the single fused Pallas kernel (ops/fk_kernel.full_dyn_pallas):
+    FK + inertia + mass matrix + bias projection + actuation/passive +
+    implicit damping + Cholesky inverse + v_pred with zero HBM round-trips.
+    """
+
+    def pure_one(qpos, qvel, ctrl, ms, ds, am):
+        fkv = forward_velocities(sys, qpos, qvel)
+        M = mass_matrix(sys, fkv, ms)
+        c = bias_from_fkvel(sys, fkv, ms)
+        B = jnp.asarray(sys.dof_damping) * ds
+        tau = (
+            actuation(sys, ctrl, am)
+            + passive_forces(sys, qpos, qvel, ds)
+            - c
+            - B * qvel
+        )
+        Minv = spd_inverse(M + sys.dt * jnp.diag(B))
+        v_pred = qvel + sys.dt * (Minv @ tau)
+        return fkv, Minv, v_pred
+
+    @jax.custom_batching.custom_vmap
+    def smooth(qpos, qvel, ctrl, ms, ds, am):
+        return pure_one(qpos, qvel, ctrl, ms, ds, am)
+
+    def kernel_branch(qpos, qvel, ctrl, ms, ds, am):
+        from cadm_tpu.ops.fk_kernel import full_dyn_pallas
+
+        d = full_dyn_pallas(sys, qpos, qvel, ctrl, ms, ds, am)
+        quat = d["quat"]
+        body_rot = math3d.quat_to_mat(quat)
+        R_i = math3d.quat_to_mat(
+            math3d.quat_mul(quat, jnp.asarray(sys.body_iquat))
+        )
+        inertia_w = jnp.einsum(
+            "ebij,bj,ebkj->ebik", R_i, jnp.asarray(sys.body_inertia), R_i
+        )
+        fkv = FKVel(
+            body_pos=d["pos"], body_rot=body_rot, com=d["com"],
+            inertia_w=inertia_w, dof_axis=d["dof_axis"],
+            dof_anchor=d["dof_anchor"], omega=d["omega"], v_com=d["v_com"],
+            alpha0=d["alpha0"], a_com0=d["a_com0"],
+        )
+        return fkv, d["minv"], d["v_pred"][..., 0]
+
+    def pure_branch(qpos, qvel, ctrl, ms, ds, am):
+        return jax.vmap(pure_one)(qpos, qvel, ctrl, ms, ds, am)
+
+    from cadm_tpu.ops.fk_kernel import FULL_DYN_MAX_NV
+
+    @smooth.def_vmap
+    def _rule(axis_size, in_batched, qpos, qvel, ctrl, ms, ds, am):
+        # constants closed over inside the vmapped caller (e.g. a default
+        # act_mask) arrive unbatched — broadcast them to the batch
+        args = [
+            x if b else jnp.broadcast_to(x, (axis_size,) + jnp.shape(x))
+            for x, b in zip((qpos, qvel, ctrl, ms, ds, am), in_batched)
+        ]
+        if sys.nv <= FULL_DYN_MAX_NV:
+            out = jax.lax.platform_dependent(
+                *args, tpu=kernel_branch, default=pure_branch
+            )
+        else:
+            out = pure_branch(*args)
+        return out, jax.tree.map(lambda _: True, out)
+
+    return smooth
+
+
 def bias_from_fkvel(sys: System, fkv: FKVel, mass_scale: Array) -> Array:
     """Generalized bias forces from the analytic propagation quantities."""
     jlin, jrot = com_jacobians(sys, fkv)
@@ -410,22 +484,13 @@ def step(
     ctrl: Array,
 ) -> Tuple[Array, Array]:
     """One physics substep (semi-implicit Euler, like MuJoCo's Euler)."""
-    fk = _fkvel_dispatch(sys)(qpos, qvel)
-    M = mass_matrix(sys, fk, params.mass_scale)
-    c = bias_from_fkvel(sys, fk, params.mass_scale)
-    B = jnp.asarray(sys.dof_damping) * params.damping_scale
-    tau = (
-        actuation(sys, ctrl, params.act_mask)
-        + passive_forces(sys, qpos, qvel, params.damping_scale)
-        - c
-        - B * qvel
+    # smooth stage (FK, mass matrix, bias, actuation/passive, implicit
+    # damping, SPD inverse, v_pred) — one fused Pallas kernel on the TPU
+    # batched path, composed pure-JAX otherwise (see _smooth_dispatch)
+    fk, Minv, v_pred = _smooth_dispatch(sys)(
+        qpos, qvel, ctrl,
+        params.mass_scale, params.damping_scale, params.act_mask,
     )
-    # implicit joint damping (MuJoCo Euler): (M + h·diag(B)) v̇ = τ − Bv − c.
-    # One explicit statically-unrolled SPD inverse (ops/linalg.py) serves the
-    # qacc solve AND the contact Delassus/backsubstitution as batched matmuls.
-    M_eff = M + sys.dt * jnp.diag(B)
-    Minv = spd_inverse(M_eff)
-    v_pred = qvel + sys.dt * (Minv @ tau)
     v_post = contact_solve(sys, fk, Minv, v_pred, sys.dt)
     qpos_new = integrate_qpos(sys, qpos, v_post, sys.dt)
     return qpos_new, v_post
