@@ -305,7 +305,7 @@ def fk_vel_pallas(sys: System, qpos, qvel, interpret: bool = False):
 # matmuls + the PGS kernel) stays outside. Systems with large nv (humanoid)
 # fall back to the composed path — see physics/rigid/dynamics.py dispatch.
 
-FULL_DYN_MAX_NV = 16
+FULL_DYN_MAX_NV = 24  # humanoid (nv=23) compiles in ~60s and matches the composed path
 
 
 def _row_layout_full(sys: System):

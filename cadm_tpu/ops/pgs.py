@@ -27,7 +27,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cadm_tpu.core.types import Array
 
-BLOCK_E = 512  # A block = 48*48*512*4B ≈ 4.7MB VMEM
+# Per-call block size: the Delassus block (3nc)²·BLOCK·4B must fit VMEM with
+# headroom for the other refs and pipelining; pick the largest power of two
+# within an ~6MB budget, capped at 512 (cheetah: 512; humanoid nc=29: 128).
+MAX_BLOCK_E = 512
+VMEM_BUDGET_BYTES = 6 * 1024 * 1024
+
+
+def _block_for(nc: int) -> int:
+    block = MAX_BLOCK_E
+    while block > 128 and (3 * nc) ** 2 * block * 4 > VMEM_BUDGET_BYTES:
+        block //= 2
+    return block
 
 
 def _pgs_kernel(nc: int, iters: int, A_ref, b_ref, vstar_ref, actmu_ref, lam_ref):
@@ -72,7 +83,8 @@ def pgs_solve(
 ) -> Array:
     """Batched PGS: A (E,3nc,3nc), b (E,3nc), vstar/actmu (E,nc) → λ (E,3nc)."""
     e = A.shape[0]
-    pad = (-e) % BLOCK_E
+    block = _block_for(nc)
+    pad = (-e) % block
     if pad:
         A = jnp.concatenate(
             [A, jnp.tile(jnp.eye(3 * nc)[None], (pad, 1, 1))], axis=0
@@ -88,7 +100,7 @@ def pgs_solve(
     vstar_t = jnp.transpose(vstar, (1, 0))
     actmu_t = jnp.transpose(actmu, (1, 0))
 
-    grid = (ep // BLOCK_E,)
+    grid = (ep // block,)
     kernel = functools.partial(_pgs_kernel, nc, iters)
     lam_t = pl.pallas_call(
         kernel,
@@ -96,22 +108,22 @@ def pgs_solve(
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (3 * nc, 3 * nc, BLOCK_E),
+                (3 * nc, 3 * nc, block),
                 lambda i: (0, 0, i),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (3 * nc, BLOCK_E), lambda i: (0, i), memory_space=pltpu.VMEM
+                (3 * nc, block), lambda i: (0, i), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (nc, BLOCK_E), lambda i: (0, i), memory_space=pltpu.VMEM
+                (nc, block), lambda i: (0, i), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (nc, BLOCK_E), lambda i: (0, i), memory_space=pltpu.VMEM
+                (nc, block), lambda i: (0, i), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (3 * nc, BLOCK_E), lambda i: (0, i), memory_space=pltpu.VMEM
+            (3 * nc, block), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
     )(A_t, b_t, vstar_t, actmu_t)
