@@ -25,6 +25,7 @@ class ExperimentConfig:
     # env
     env: str = "cartpole"
     n_envs: int = 16
+    randomization: str = "discrete"   # paper scale sets | "continuous" bands
     # model
     model: str = "cadm"           # vanilla | stacked | cadm | rnn | grbal
     ensemble: int = 1             # >1 = PE-TS-style probabilistic ensemble
@@ -51,13 +52,19 @@ class ExperimentConfig:
     eval_envs: int = 16
     eval_modes: Tuple[int, ...] = (0, 1, 2)
     seed: int = 0
+    # fit protocol (SURVEY §3.3): "epochs" = reference-style epoch passes
+    # with early stop on held-out valid loss; "fixed" = flat update scan
+    fit_protocol: str = "fixed"
+    max_epochs: int = 8
+    early_stop_patience: int = 2
+    epoch_updates_cap: int = 400
 
     def build(self, mesh=None):
         if self.n_envs < 1 or self.eval_envs < 1:
             raise ValueError(
                 f"n_envs/eval_envs must be >= 1, got {self.n_envs}/{self.eval_envs}"
             )
-        env = make(self.env)
+        env = make(self.env, randomization=self.randomization)
         if self.model == "grbal":
             return self._build_grbal(env, mesh)
         context = {
@@ -107,6 +114,10 @@ class ExperimentConfig:
                 buffer_capacity=self.buffer_capacity,
                 eval_envs=self.eval_envs,
                 eval_modes=self.eval_modes,
+                fit_protocol=self.fit_protocol,
+                max_epochs=self.max_epochs,
+                early_stop_patience=self.early_stop_patience,
+                epoch_updates_cap=self.epoch_updates_cap,
             ),
             mesh=mesh,
         )
@@ -150,6 +161,10 @@ class ExperimentConfig:
                 buffer_capacity=self.buffer_capacity,
                 eval_envs=self.eval_envs,
                 eval_modes=self.eval_modes,
+                fit_protocol=self.fit_protocol,
+                max_epochs=self.max_epochs,
+                early_stop_patience=self.early_stop_patience,
+                epoch_updates_cap=self.epoch_updates_cap,
             ),
             mesh=mesh,
         )
@@ -166,39 +181,39 @@ PRESETS = {
     ),
     # Pendulum, randomized mass/length, CaDM encoder + CEM-MPC
     "pendulum_cadm_cem": ExperimentConfig(
-        env="pendulum", model="cadm", planner="cem",
+        env="pendulum", model="cadm", planner="cem", fit_protocol="epochs",
         n_envs=8, n_candidates=200, plan_horizon=20,
         steps_per_itr=210, n_itr=15,
     ),
     # HalfCheetah, randomized mass/damping, CaDM fwd+bwd + CEM @ 2048 envs
     "halfcheetah_cadm_cem": ExperimentConfig(
-        env="half_cheetah", model="cadm", planner="cem",
+        env="half_cheetah", model="cadm", planner="cem", fit_protocol="epochs",
         n_envs=2048, n_candidates=200, plan_horizon=30,
         steps_per_itr=1000, n_itr=20, buffer_capacity=20000,
         model_updates_per_itr=2000, batch_size=256,
     ),
     # Ant + CrippledAnt, CaDM ensemble + CEM
     "ant_cadm_ensemble_cem": ExperimentConfig(
-        env="ant", model="cadm", ensemble=5, planner="cem",
+        env="ant", model="cadm", ensemble=5, planner="cem", fit_protocol="epochs",
         n_envs=1024, n_candidates=200, plan_horizon=30,
         steps_per_itr=1000, n_itr=20, buffer_capacity=20000,
         model_updates_per_itr=2000, batch_size=256,
     ),
     "cripple_ant_cadm_ensemble_cem": ExperimentConfig(
-        env="cripple_ant", model="cadm", ensemble=5, planner="cem",
+        env="cripple_ant", model="cadm", ensemble=5, planner="cem", fit_protocol="epochs",
         n_envs=1024, n_candidates=200, plan_horizon=30,
         steps_per_itr=1000, n_itr=20, buffer_capacity=20000,
         model_updates_per_itr=2000, batch_size=256,
     ),
-    # SlimHumanoid / Hopper (PPO+CaDM rides cadm_tpu.train.ppo — see cli.run)
+    # SlimHumanoid / Hopper model-based configs (PPO+CaDM: --trainer ppo)
     "slim_humanoid_cadm_cem": ExperimentConfig(
-        env="slim_humanoid", model="cadm", planner="cem",
+        env="slim_humanoid", model="cadm", planner="cem", fit_protocol="epochs",
         n_envs=512, n_candidates=200, plan_horizon=30,
         steps_per_itr=500, n_itr=20, buffer_capacity=10000,
         model_updates_per_itr=2000, batch_size=256,
     ),
     "hopper_cadm_cem": ExperimentConfig(
-        env="hopper", model="cadm", planner="cem",
+        env="hopper", model="cadm", planner="cem", fit_protocol="epochs",
         n_envs=512, n_candidates=200, plan_horizon=30,
         steps_per_itr=500, n_itr=20, buffer_capacity=10000,
         model_updates_per_itr=2000, batch_size=256,

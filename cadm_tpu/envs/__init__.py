@@ -18,5 +18,7 @@ ENVS = {
 }
 
 
-def make(name: str) -> Env:
-    return ENVS[name]()
+def make(name: str, randomization: str = "discrete") -> Env:
+    """Construct an env family; ``randomization`` = "discrete" (paper
+    protocol, default) or "continuous" (round-1 uniform bands)."""
+    return ENVS[name](randomization)

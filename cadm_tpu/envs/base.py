@@ -41,6 +41,13 @@ class Env:
     # extreme dynamics-shift ranges (arXiv:2005.06800 §5.1).
     TRAIN, MODERATE, EXTREME = 0, 1, 2
 
+    def __init__(self, randomization: str = "discrete"):
+        """``randomization`` picks the hidden-param sampling scheme:
+        "discrete" = the paper's per-mode scale sets (default),
+        "continuous" = round 1's uniform extrapolation bands (ablation).
+        """
+        self.randomization = randomization
+
     # --- primitive hooks ----------------------------------------------------
     def sample_params(self, rng: Array, mode: int) -> PyTree:
         """Draw hidden per-episode dynamics parameters."""

@@ -20,7 +20,7 @@ from flax import struct
 
 from cadm_tpu.core.types import Array
 from cadm_tpu.envs.base import Env
-from cadm_tpu.envs.ranges import ScaleRange
+from cadm_tpu.envs.ranges import canonical
 
 
 @struct.dataclass
@@ -37,16 +37,10 @@ class CartPolePhys:
     theta_dot: Array
 
 
-FORCE_RANGE = ScaleRange(
-    train=(5.0, 15.0),
-    moderate=(2.5, 5.0, 15.0, 20.0),
-    extreme=(1.25, 2.5, 20.0, 25.0),
-)
-LENGTH_RANGE = ScaleRange(
-    train=(0.40, 0.60),
-    moderate=(0.25, 0.40, 0.60, 0.75),
-    extreme=(0.125, 0.25, 0.75, 0.90),
-)
+# Nominal gym CartPole constants scaled by the canonical per-mode sets
+# (paper protocol: push force and pole length randomized per episode).
+NOMINAL_FORCE = 10.0
+NOMINAL_LENGTH = 0.5  # gym convention: pole half-length
 
 
 class CartPoleEnv(Env):
@@ -60,10 +54,11 @@ class CartPoleEnv(Env):
     mass_pole = 0.1
 
     def sample_params(self, rng: Array, mode: int) -> CartPoleParams:
+        scale = canonical(self.randomization)
         r_f, r_l = jax.random.split(rng)
         return CartPoleParams(
-            force_mag=FORCE_RANGE.sample(r_f, mode),
-            length=LENGTH_RANGE.sample(r_l, mode),
+            force_mag=scale.scaled(NOMINAL_FORCE).sample(r_f, mode),
+            length=scale.scaled(NOMINAL_LENGTH).sample(r_l, mode),
         )
 
     def init_phys(self, rng: Array, params: CartPoleParams) -> CartPolePhys:

@@ -18,7 +18,7 @@ from flax import struct
 
 from cadm_tpu.core.types import Array
 from cadm_tpu.envs.base import Env
-from cadm_tpu.envs.ranges import ScaleRange
+from cadm_tpu.envs.ranges import canonical
 
 
 @struct.dataclass
@@ -33,14 +33,6 @@ class PendulumPhys:
     theta_dot: Array
 
 
-MASS_RANGE = ScaleRange(
-    train=(0.75, 1.25),
-    moderate=(0.50, 0.75, 1.25, 1.50),
-    extreme=(0.25, 0.50, 1.50, 1.75),
-)
-LENGTH_RANGE = MASS_RANGE  # same multiplicative scheme around base 1.0
-
-
 class PendulumEnv(Env):
     obs_dim = 3
     act_dim = 1
@@ -51,11 +43,14 @@ class PendulumEnv(Env):
     max_torque = 2.0
     max_speed = 8.0
 
+    # Paper protocol: mass and length drawn per episode from the canonical
+    # discrete scale sets around the nominal m = l = 1.0.
     def sample_params(self, rng: Array, mode: int) -> PendulumParams:
+        scale = canonical(self.randomization)
         r_m, r_l = jax.random.split(rng)
         return PendulumParams(
-            mass=MASS_RANGE.sample(r_m, mode),
-            length=LENGTH_RANGE.sample(r_l, mode),
+            mass=scale.sample(r_m, mode),
+            length=scale.sample(r_l, mode),
         )
 
     def init_phys(self, rng: Array, params: PendulumParams) -> PendulumPhys:

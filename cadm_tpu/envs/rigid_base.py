@@ -21,7 +21,7 @@ from flax import struct
 
 from cadm_tpu.core.types import Array, PyTree
 from cadm_tpu.envs.base import Env
-from cadm_tpu.envs.ranges import MASS_DAMPING_SCALE
+from cadm_tpu.envs.ranges import canonical
 from cadm_tpu.physics.rigid import dynamics as rdyn
 from cadm_tpu.physics.rigid.mjcf import system_from_mjcf
 from cadm_tpu.physics.rigid.system import System
@@ -53,16 +53,20 @@ class RigidEnv(Env):
     asset: str
     frame_skip: int
 
-    def __init__(self):
+    def __init__(self, randomization: str = "discrete"):
+        super().__init__(randomization)
         self.sys = load_system(self.asset)
         self.dt = self.sys.dt * self.frame_skip
+        self._scale = canonical(randomization)
 
     # ---- default param scheme: global mass & damping scales --------------
+    # Paper protocol: per-episode mass/damping scales drawn from discrete
+    # sets (train {0.75,0.85,1.0,1.15,1.25}, test sets outside the hull).
     def sample_params(self, rng: Array, mode: int) -> PyTree:
         r_m, r_d = jax.random.split(rng)
         return MassDampingParams(
-            mass_scale=MASS_DAMPING_SCALE.sample(r_m, mode),
-            damping_scale=MASS_DAMPING_SCALE.sample(r_d, mode),
+            mass_scale=self._scale.sample(r_m, mode),
+            damping_scale=self._scale.sample(r_d, mode),
         )
 
     def rigid_params(self, params: PyTree) -> rdyn.RigidParams:

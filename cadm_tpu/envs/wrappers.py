@@ -57,6 +57,7 @@ class NormalizedEnv(Env):
         self.act_dim = env.act_dim
         self.horizon = env.horizon
         self.dt = env.dt
+        self.randomization = getattr(env, "randomization", "discrete")
 
     def sample_params(self, rng, mode):
         return self.env.sample_params(rng, mode)

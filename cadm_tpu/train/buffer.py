@@ -87,19 +87,59 @@ class ReplayBuffer:
         return buf
 
     # ----------------------------------------------------------- sample --
+    # Every 10th logical column is reserved for validation — a persistent
+    # train/valid partition that survives buffer growth (the reference's
+    # train_test_split, SURVEY §2.1 "Dynamics core"; ADVICE r1: the valid
+    # batch must be excluded from training sampling).
+    VALID_STRIDE = 10
+
+    def n_valid_anchors(self) -> Array:
+        return self.size // self.VALID_STRIDE
+
+    def n_train_anchors(self) -> Array:
+        return self.size - self.n_valid_anchors()
+
     def sample_segments(
-        self, rng: Array, batch_shape: Tuple[int, ...], k: int, m: int
+        self,
+        rng: Array,
+        batch_shape: Tuple[int, ...],
+        k: int,
+        m: int,
+        split: str | None = None,
     ) -> SegmentBatch:
         """Gather ``batch_shape`` random (K-history + M-future) segments.
 
         ``batch_shape`` may include a leading member axis for bootstrap
         resampling — each index is drawn independently, which IS the
         bootstrap (PETS convention, SURVEY §2.1 ensemble row).
+
+        ``split``: None samples anchors anywhere; "train"/"valid" restrict
+        the anchor column to the corresponding persistent partition (columns
+        ≡ VALID_STRIDE-1 mod VALID_STRIDE are validation). Note history/
+        future windows may still cross partition columns — the holdout is on
+        anchors, matching the reference's random split of overlapping
+        segments.
         """
         r_env, r_t = jax.random.split(rng)
         env_idx = jax.random.randint(r_env, batch_shape, 0, self.n_envs)
-        # logical anchor t of the first future step, in [0, size)
-        t_idx = jax.random.randint(r_t, batch_shape, 0, jnp.maximum(self.size, 1))
+        s = self.VALID_STRIDE
+        if split is None:
+            # logical anchor t of the first future step, in [0, size)
+            t_idx = jax.random.randint(
+                r_t, batch_shape, 0, jnp.maximum(self.size, 1)
+            )
+        elif split == "train":
+            u = jax.random.randint(
+                r_t, batch_shape, 0, jnp.maximum(self.n_train_anchors(), 1)
+            )
+            t_idx = (u // (s - 1)) * s + (u % (s - 1))
+        elif split == "valid":
+            v = jax.random.randint(
+                r_t, batch_shape, 0, jnp.maximum(self.n_valid_anchors(), 1)
+            )
+            t_idx = v * s + (s - 1)
+        else:
+            raise ValueError(f"unknown split: {split!r}")
 
         start = (self.ptr - self.size) % self.capacity  # oldest logical column
 

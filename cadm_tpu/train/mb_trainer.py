@@ -38,6 +38,18 @@ class TrainerConfig:
     random_first_itr: bool = True
     eval_envs: int = 8
     eval_modes: Tuple[int, ...] = (0, 1, 2)
+    # --- fit protocol (SURVEY §3.3: the reference fits with epoch passes
+    # over the aggregated dataset, persistent train/valid split, and stops
+    # when valid loss stops improving) -----------------------------------
+    fit_protocol: str = "fixed"     # "fixed" (scan of N updates) | "epochs"
+    max_epochs: int = 50            # epoch cap for fit_protocol="epochs"
+    early_stop_patience: int = 5    # epochs without valid improvement
+    min_rel_improve: float = 1e-3   # relative valid-loss improvement bar
+    valid_batches: int = 4          # minibatches per valid-loss estimate
+    # TPU-scale buffers (thousands of vmapped envs) make a literal full pass
+    # enormous; an epoch is min(one pass over the dataset, this many
+    # updates) — early stopping still governs the number of epochs.
+    epoch_updates_cap: int = 500
 
 
 class MBTrainer:
@@ -63,7 +75,11 @@ class MBTrainer:
         self._collect_plan = jax.jit(
             lambda *a: self._collect(*a, random_actions=False)
         )
-        self._fit = jax.jit(self._fit_impl)
+        fit_impl = {
+            "fixed": self._fit_impl,
+            "epochs": self._fit_epochs_impl,
+        }[config.fit_protocol]
+        self._fit = jax.jit(fit_impl)
         self._evals = {
             mode: jax.jit(lambda rng, st, m=mode: self._eval_impl(rng, st, m))
             for mode in config.eval_modes
@@ -168,46 +184,136 @@ class MBTrainer:
         return env_states, hists, buffer, metrics
 
     # -------------------------------------------------------------- fit --
-    def _fit_impl(self, rng, buffer: ReplayBuffer, dyn_state: DynamicsState):
-        model, cfg = self.model, self.cfg
+    def _refresh_norm(self, buffer: ReplayBuffer, dyn_state: DynamicsState):
         obs, act, dobs, mask = buffer.norm_inputs()
         om, os_ = masked_mean_std(obs, mask)
         am, as_ = masked_mean_std(act, mask)
         dm, ds = masked_mean_std(dobs, mask)
-        dyn_state = dataclasses.replace(
-            dyn_state,
-            norm=NormStats(om, os_, am, as_, dm, ds),
+        return dataclasses.replace(
+            dyn_state, norm=NormStats(om, os_, am, as_, dm, ds)
         )
 
+    def _sample(self, buffer, rng, split):
+        return buffer.sample_segments(
+            rng,
+            (self.model.cfg.n_members, self.cfg.batch_size),
+            self.model.cfg.history_k,
+            self.model.cfg.future_m,
+            split=split,
+        )
+
+    def _valid_loss(self, buffer, rng, dyn_state):
+        """Mean loss over ``valid_batches`` held-out minibatches."""
+        def one(k):
+            batch = self._sample(buffer, k, "valid")
+            loss, _ = self.model.loss(dyn_state.params, dyn_state.norm, batch)
+            return loss
+
+        keys = jax.random.split(rng, self.cfg.valid_batches)
+        return jax.vmap(one)(keys).mean()
+
+    def _fit_impl(self, rng, buffer: ReplayBuffer, dyn_state: DynamicsState):
+        """Round-1 protocol: fixed scan of ``model_updates_per_itr`` Adam
+        steps on the train partition, valid loss before/after."""
+        cfg = self.cfg
+        dyn_state = self._refresh_norm(buffer, dyn_state)
+
         def upd(st, k):
-            batch = buffer.sample_segments(
-                k,
-                (model.cfg.n_members, cfg.batch_size),
-                model.cfg.history_k,
-                model.cfg.future_m,
-            )
-            st, metrics = model.update(st, batch)
+            st, metrics = self.model.update(st, self._sample(buffer, k, "train"))
             return st, metrics["model_loss"]
 
         r_train, r_valid = jax.random.split(rng)
-        # held-out validation batch (the reference's train/valid split,
-        # SURVEY §2.1 "Dynamics core": valid loss logged each fit)
-        val_batch = buffer.sample_segments(
-            r_valid,
-            (model.cfg.n_members, cfg.batch_size),
-            model.cfg.history_k,
-            model.cfg.future_m,
-        )
-        val_before, _ = model.loss(dyn_state.params, dyn_state.norm, val_batch)
+        val_before = self._valid_loss(buffer, r_valid, dyn_state)
         keys = jax.random.split(r_train, cfg.model_updates_per_itr)
         dyn_state, losses = jax.lax.scan(upd, dyn_state, keys)
-        val_after, _ = model.loss(dyn_state.params, dyn_state.norm, val_batch)
+        val_after = self._valid_loss(buffer, r_valid, dyn_state)
         return dyn_state, {
             "fit/model_loss_first": losses[0],
             "fit/model_loss_last": losses[-1],
             "fit/model_loss_mean": losses.mean(),
             "fit/valid_loss_before": val_before,
             "fit/valid_loss_after": val_after,
+        }
+
+    def _fit_epochs_impl(self, rng, buffer: ReplayBuffer, dyn_state: DynamicsState):
+        """Reference fit protocol (SURVEY §3.3): epoch passes over the
+        aggregated dataset with early stop on held-out valid loss.
+
+        Static-shape design: an outer scan over ``max_epochs`` whose body is
+        wrapped in ``lax.cond`` on the early-stop flag (skipped epochs cost
+        ~nothing at runtime); the inner scan covers the whole buffer but
+        masks minibatches past the CURRENT dataset's one-pass count, so an
+        epoch is a true pass over today's data without recompilation as the
+        buffer grows.
+        """
+        model, cfg = self.model, self.cfg
+        dyn_state = self._refresh_norm(buffer, dyn_state)
+
+        # one epoch = ceil(train anchors per env * n_envs / batch) updates,
+        # capped at epoch_updates_cap (see TrainerConfig)
+        mb_cap = min(
+            cfg.epoch_updates_cap,
+            max(1, -(-buffer.capacity * cfg.n_envs * 9 // 10 // cfg.batch_size)),
+        )
+        n_mb = jnp.minimum(
+            jnp.maximum(
+                -(-buffer.n_train_anchors() * cfg.n_envs) // cfg.batch_size, 1
+            ),
+            mb_cap,
+        )
+
+        def epoch_body(carry, k_epoch):
+            st, best, since, stopped = carry
+
+            def run_epoch(st):
+                def upd(st, arg):
+                    i, k = arg
+
+                    def do(st):
+                        st, m = model.update(st, self._sample(buffer, k, "train"))
+                        return st, m["model_loss"]
+
+                    return jax.lax.cond(
+                        i < n_mb, do, lambda st: (st, jnp.nan), st
+                    )
+
+                keys = jax.random.split(k_epoch, mb_cap + 1)
+                st, losses = jax.lax.scan(
+                    upd, st, (jnp.arange(mb_cap), keys[:-1])
+                )
+                val = self._valid_loss(buffer, keys[-1], st)
+                return st, val, jnp.nanmean(losses)
+
+            def skip_epoch(st):
+                return st, jnp.nan, jnp.nan
+
+            st, val, train_loss = jax.lax.cond(
+                stopped, skip_epoch, run_epoch, st
+            )
+            improved = val < best * (1.0 - cfg.min_rel_improve)
+            best = jnp.where(stopped, best, jnp.minimum(best, val))
+            since = jnp.where(
+                stopped, since, jnp.where(improved, 0, since + 1)
+            )
+            stopped = stopped | (since >= cfg.early_stop_patience)
+            return (st, best, since, stopped), (val, train_loss)
+
+        r_init, r_epochs = jax.random.split(rng)
+        val0 = self._valid_loss(buffer, r_init, dyn_state)
+        carry0 = (dyn_state, val0, jnp.zeros((), jnp.int32), jnp.zeros((), bool))
+        (dyn_state, best, _, _), (vals, train_losses) = jax.lax.scan(
+            epoch_body, carry0, jax.random.split(r_epochs, cfg.max_epochs)
+        )
+        ran = jnp.isfinite(vals)
+        return dyn_state, {
+            "fit/model_loss_first": train_losses[0],
+            "fit/model_loss_last": jnp.where(
+                ran.any(), train_losses[jnp.maximum(ran.sum() - 1, 0)], jnp.nan
+            ),
+            "fit/model_loss_mean": jnp.nanmean(train_losses),
+            "fit/valid_loss_before": val0,
+            "fit/valid_loss_after": best,
+            "fit/epochs_run": ran.sum(),
         }
 
     # ------------------------------------------------------------- eval --

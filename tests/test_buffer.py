@@ -62,3 +62,36 @@ def test_masked_mean_std():
     mean, std = masked_mean_std(x, mask)
     np.testing.assert_allclose(float(mean[0]), 2.0, atol=1e-5)
     np.testing.assert_allclose(float(std[0]), 1.0, atol=1e-2)
+
+
+def test_train_valid_split_disjoint_and_covering():
+    """Persistent anchor partition: train draws never hit valid columns."""
+    import jax
+
+    from cadm_tpu.train.buffer import ReplayBuffer
+
+    buf = ReplayBuffer.create(2, 64, 3, 2)
+    # fill 37 columns with ep_step = column index (one long episode)
+    for t in range(37):
+        buf = buf.append(
+            jnp.ones((2, 3)) * t, jnp.zeros((2, 2)),
+            jnp.ones((2, 3)) * (t + 1), jnp.zeros((2,), bool),
+            jnp.full((2,), t, jnp.int32),
+        )
+    assert int(buf.n_valid_anchors()) == 3   # columns 9, 19, 29
+    assert int(buf.n_train_anchors()) == 34
+
+    def anchors(split, n=512):
+        b = buf.sample_segments(
+            jax.random.key(0), (n,), k=2, m=1, split=split
+        )
+        # anchor obs value encodes the column index
+        return np.unique(np.asarray(b.obs[:, 0, 0]).astype(int))
+
+    train_cols = anchors("train")
+    valid_cols = anchors("valid")
+    assert set(valid_cols) == {9, 19, 29}
+    assert set(train_cols).isdisjoint(set(valid_cols))
+    # train covers the non-valid columns densely
+    assert len(train_cols) > 25
+    assert train_cols.max() == 36
