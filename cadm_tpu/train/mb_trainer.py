@@ -392,9 +392,11 @@ class MBTrainer:
             )
             dyn_state, fit_metrics = self._fit(k_fit, buffer, dyn_state)
             metrics = {"itr": itr, **col_metrics, **fit_metrics}
-            for mode, fn in self._evals.items():
-                returns = fn(k_eval, dyn_state)
+            eval_keys = jax.random.split(k_eval, max(len(self._evals), 1))
+            for (mode, fn), k_mode in zip(self._evals.items(), eval_keys):
+                returns = fn(k_mode, dyn_state)
                 metrics[f"eval/return_mode{mode}"] = returns.mean()
+                metrics[f"eval/return_mode{mode}_std"] = returns.std()
             metrics = {
                 k: (float(v) if hasattr(v, "item") else v)
                 for k, v in metrics.items()

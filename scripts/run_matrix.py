@@ -1,0 +1,163 @@
+"""Result-matrix runner: six families × {Vanilla, Vanilla+CaDM, PE-TS+CaDM}
+× {train, moderate, extreme} × seeds (VERDICT r1 item 2).
+
+Runs cells sequentially (the tunneled TPU is a single chip that serializes
+across processes) and writes one JSON per cell into ``results/raw/``.
+Resume-safe: cells whose JSON already exists are skipped, so the runner can
+be stopped and relaunched at any time. ``scripts/make_results.py`` renders
+``RESULTS.md`` from the raw cells.
+
+Usage:
+  python scripts/run_matrix.py                  # everything not yet done
+  python scripts/run_matrix.py --families half_cheetah --models cadm --seeds 0
+  python scripts/run_matrix.py --list           # show the planned cells
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+import traceback
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+RESULTS_DIR = os.path.join(os.path.dirname(__file__), "..", "results", "raw")
+
+# Per-family scales: the round-1 validated configurations (BASELINE.md),
+# warm-started CEM (2-5x returns vs cold), epoch fit protocol, eval_envs
+# raised to 32 for lower-variance return estimates.
+FAMILY_BASE = {
+    "cartpole": dict(
+        env="cartpole", planner="rs", n_candidates=500, plan_horizon=20,
+        history_k=10, future_m=5, n_envs=16, steps_per_itr=210, n_itr=10,
+        buffer_capacity=4000, eval_envs=32, fit_protocol="epochs",
+    ),
+    "pendulum": dict(
+        env="pendulum", planner="cem", n_candidates=200, plan_horizon=20,
+        n_envs=16, steps_per_itr=210, n_itr=12, buffer_capacity=4000,
+        eval_envs=32, warm_start=True, fit_protocol="epochs",
+    ),
+    "half_cheetah": dict(
+        env="half_cheetah", planner="cem", n_candidates=256, plan_horizon=30,
+        n_envs=2048, steps_per_itr=1000, n_itr=20, buffer_capacity=20000,
+        batch_size=256, eval_envs=32, warm_start=True, fit_protocol="epochs",
+    ),
+    "cripple_ant": dict(
+        env="cripple_ant", planner="cem", n_candidates=256, plan_horizon=30,
+        n_envs=1024, steps_per_itr=1000, n_itr=15, buffer_capacity=15000,
+        batch_size=256, eval_envs=32, warm_start=True, fit_protocol="epochs",
+    ),
+    "slim_humanoid": dict(
+        env="slim_humanoid", planner="cem", n_candidates=256, plan_horizon=30,
+        n_envs=512, steps_per_itr=500, n_itr=15, buffer_capacity=10000,
+        batch_size=256, eval_envs=32, warm_start=True, fit_protocol="epochs",
+    ),
+    "hopper": dict(
+        env="hopper", planner="cem", n_candidates=256, plan_horizon=30,
+        n_envs=512, steps_per_itr=500, n_itr=15, buffer_capacity=10000,
+        batch_size=256, eval_envs=32, warm_start=True, fit_protocol="epochs",
+    ),
+    # bonus family (the paper's six are above; plain Ant is the mass/damping
+    # variant of CrippleAnt)
+    "ant": dict(
+        env="ant", planner="cem", n_candidates=256, plan_horizon=30,
+        n_envs=1024, steps_per_itr=1000, n_itr=15, buffer_capacity=15000,
+        batch_size=256, eval_envs=32, warm_start=True, fit_protocol="epochs",
+    ),
+}
+
+MODEL_VARIANTS = {
+    "vanilla": dict(model="vanilla", ensemble=1),
+    "cadm": dict(model="cadm", ensemble=1),
+    "pets_cadm": dict(model="cadm", ensemble=5),
+}
+
+DEFAULT_FAMILIES = [
+    "cartpole", "pendulum", "half_cheetah", "cripple_ant",
+    "slim_humanoid", "hopper",
+]
+
+
+def cell_name(family: str, model: str, seed: int) -> str:
+    return f"{family}__{model}__s{seed}"
+
+
+def run_cell(family: str, model: str, seed: int) -> dict:
+    import jax
+
+    from cadm_tpu.cli.presets import ExperimentConfig
+
+    cfg = ExperimentConfig(
+        **FAMILY_BASE[family], **MODEL_VARIANTS[model], seed=seed,
+        eval_modes=(0, 1, 2),
+    )
+    env, dyn, planner, trainer = cfg.build()
+    t0 = time.time()
+    _, history = trainer.train(jax.random.key(seed))
+    wall = time.time() - t0
+    return {
+        "family": family,
+        "model": model,
+        "seed": seed,
+        "config": dataclasses.asdict(cfg),
+        "wall_clock_s": wall,
+        "history": history,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--families", nargs="*", default=DEFAULT_FAMILIES)
+    ap.add_argument("--models", nargs="*", default=list(MODEL_VARIANTS))
+    ap.add_argument("--seeds", nargs="*", type=int, default=[0, 1])
+    ap.add_argument("--list", action="store_true")
+    args = ap.parse_args()
+
+    os.makedirs(RESULTS_DIR, exist_ok=True)
+    cells = [
+        (f, m, s)
+        for f in args.families
+        for m in args.models
+        for s in args.seeds
+    ]
+    if args.list:
+        for c in cells:
+            done = os.path.exists(
+                os.path.join(RESULTS_DIR, cell_name(*c) + ".json")
+            )
+            print(("DONE " if done else "todo ") + cell_name(*c))
+        return
+
+    for family, model, seed in cells:
+        path = os.path.join(RESULTS_DIR, cell_name(family, model, seed) + ".json")
+        if os.path.exists(path):
+            print(f"[matrix] skip (done): {cell_name(family, model, seed)}", flush=True)
+            continue
+        print(f"[matrix] run: {cell_name(family, model, seed)}", flush=True)
+        try:
+            result = run_cell(family, model, seed)
+        except Exception:
+            print(f"[matrix] FAILED: {cell_name(family, model, seed)}", flush=True)
+            traceback.print_exc()
+            fail_path = path.replace(".json", ".failed")
+            with open(fail_path, "w") as f:
+                f.write(traceback.format_exc())
+            continue
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(result, f)
+        os.replace(tmp, path)
+        last = result["history"][-1]
+        print(
+            f"[matrix] done in {result['wall_clock_s']:.0f}s: "
+            f"train={last.get('eval/return_mode0'):.1f} "
+            f"mod={last.get('eval/return_mode1'):.1f} "
+            f"ext={last.get('eval/return_mode2'):.1f}",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
