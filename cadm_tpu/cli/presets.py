@@ -22,6 +22,8 @@ from cadm_tpu.train.mb_trainer import MBTrainer, TrainerConfig
 
 @dataclasses.dataclass(frozen=True)
 class ExperimentConfig:
+    # trainer kind: "mb" = model-based MPC loop; "ppo" = PPO+CaDM (paper §4.3)
+    trainer: str = "mb"
     # env
     env: str = "cartpole"
     n_envs: int = 16
@@ -58,12 +60,20 @@ class ExperimentConfig:
     max_epochs: int = 8
     early_stop_patience: int = 2
     epoch_updates_cap: int = 400
+    # PPO-only knobs (used when trainer="ppo")
+    rollout_len: int = 256
+    ppo_lr: float = 3e-4
+    ppo_epochs: int = 10
+    ppo_minibatches: int = 8
+    policy_hidden: Tuple[int, ...] = (64, 64)
 
     def build(self, mesh=None):
         if self.n_envs < 1 or self.eval_envs < 1:
             raise ValueError(
                 f"n_envs/eval_envs must be >= 1, got {self.n_envs}/{self.eval_envs}"
             )
+        if self.trainer == "ppo":
+            return self._build_ppo(mesh)
         env = make(self.env, randomization=self.randomization)
         if self.model == "grbal":
             return self._build_grbal(env, mesh)
@@ -122,6 +132,51 @@ class ExperimentConfig:
             mesh=mesh,
         )
         return env, model, planner, trainer
+
+    def _build_ppo(self, mesh):
+        """PPO+CaDM stack (paper §4.3): policy on concat(obs, z) with the
+        encoder fit jointly on the shared replay buffer."""
+        from cadm_tpu.train.ppo import PPOConfig, PPOTrainer
+
+        env = make(self.env, randomization=self.randomization)
+        context = {"vanilla": "none", "stacked": "stacked", "cadm": "encoder"}[
+            self.model
+        ]
+        model = Dynamics(
+            DynamicsConfig(
+                obs_dim=env.obs_dim,
+                act_dim=env.act_dim,
+                hidden=self.hidden,
+                n_members=self.ensemble,
+                probabilistic=self.probabilistic or self.ensemble > 1,
+                context=context,
+                z_dim=self.z_dim,
+                history_k=self.history_k,
+                future_m=self.future_m,
+                beta_backward=self.beta_backward,
+                lr=self.lr,
+            )
+        )
+        trainer = PPOTrainer(
+            env,
+            model,
+            PPOConfig(
+                n_envs=self.n_envs,
+                rollout_len=self.rollout_len,
+                n_itr=self.n_itr,
+                policy_hidden=self.policy_hidden,
+                lr=self.ppo_lr,
+                ppo_epochs=self.ppo_epochs,
+                minibatches=self.ppo_minibatches,
+                model_updates_per_itr=self.model_updates_per_itr,
+                model_batch=self.batch_size,
+                buffer_capacity=self.buffer_capacity,
+                eval_envs=self.eval_envs,
+                eval_modes=self.eval_modes,
+            ),
+            mesh=mesh,
+        )
+        return env, model, None, trainer
 
     def _build_grbal(self, env, mesh):
         from cadm_tpu.models.grbal import GrBAL, GrBALConfig
@@ -217,5 +272,18 @@ PRESETS = {
         n_envs=512, n_candidates=200, plan_horizon=30,
         steps_per_itr=500, n_itr=20, buffer_capacity=10000,
         model_updates_per_itr=2000, batch_size=256,
+    ),
+    # PPO+CaDM (paper §4.3): policy on concat(obs, z), shifted-range eval
+    "hopper_ppo_cadm": ExperimentConfig(
+        trainer="ppo", env="hopper", model="cadm",
+        n_envs=128, rollout_len=256, n_itr=60,
+        model_updates_per_itr=200, batch_size=256, buffer_capacity=4096,
+        eval_envs=16,
+    ),
+    "slim_humanoid_ppo_cadm": ExperimentConfig(
+        trainer="ppo", env="slim_humanoid", model="cadm",
+        n_envs=128, rollout_len=256, n_itr=60,
+        model_updates_per_itr=200, batch_size=256, buffer_capacity=4096,
+        eval_envs=16,
     ),
 }

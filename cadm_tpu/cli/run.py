@@ -83,24 +83,32 @@ def main(argv=None):
         if (args.checkpoint or args.resume)
         else None
     )
-    start_itr, init_state = 0, None
+    resume_payload = None
     if args.resume and ckpt is not None and ckpt.latest_step is not None:
-        template = model.init_state(jax.random.key(0))
-        restored = ckpt.restore(template={"state": template})
-        init_state, start_itr = restored["state"], ckpt.latest_step + 1
-        logger.log(f"resumed from checkpoint step {ckpt.latest_step}")
+        restored = ckpt.restore(template=trainer.resume_template())
+        restored["itr"] = ckpt.latest_step
+        resume_payload = restored
+        logger.log(
+            f"resumed full training state from checkpoint step {ckpt.latest_step}"
+        )
     sink = None
-    if args.dump_trajs:
+    if args.dump_trajs and cfg.trainer != "ppo":
         from cadm_tpu.utils.trajsink import TrajectorySink
 
         if TrajectorySink.available():
             sink = TrajectorySink(f"{logger.dir}/trajectories.bin")
         else:
             logger.log("native trajsink unavailable; --dump-trajs ignored")
-    dyn_state, history = trainer.train(
-        jax.random.key(cfg.seed), logger=logger, checkpointer=ckpt,
-        traj_sink=sink, start_itr=start_itr, initial_dyn_state=init_state,
-    )
+    if cfg.trainer == "ppo":
+        _, dyn_state, history = trainer.train(
+            jax.random.key(cfg.seed), logger=logger, checkpointer=ckpt,
+            resume=resume_payload,
+        )
+    else:
+        dyn_state, history = trainer.train(
+            jax.random.key(cfg.seed), logger=logger, checkpointer=ckpt,
+            traj_sink=sink, resume=resume_payload,
+        )
     if sink is not None:
         sink.flush()
         logger.log(

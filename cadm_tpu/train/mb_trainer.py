@@ -360,24 +360,57 @@ class MBTrainer:
         )
         return returns
 
+    # ------------------------------------------------------- checkpoint --
+    @staticmethod
+    def checkpoint_payload(env_states, hists, buffer, dyn_state, rng):
+        """The FULL training pytree: resuming from it reproduces the exact
+        metrics trajectory of an uninterrupted run. The CEM warm-start plan
+        is initialized per collect call (not cross-iteration state), so itr
+        boundaries are exact resume points without it."""
+        return {
+            "state": dyn_state,
+            "buffer": buffer,
+            "env_states": env_states,
+            "hists": hists,
+            "rng": jax.random.key_data(rng),
+        }
+
+    def resume_template(self):
+        """A payload-shaped pytree (shapes/dtypes only) for Orbax restore."""
+        env_states, hists, buffer, dyn_state = self.init(jax.random.key(0))
+        return self.checkpoint_payload(
+            env_states, hists, buffer, dyn_state, jax.random.key(0)
+        )
+
     # ------------------------------------------------------------ train --
     def train(self, rng: Array, logger=None, checkpointer=None, traj_sink=None,
-              start_itr: int = 0, initial_dyn_state=None):
+              start_itr: int = 0, initial_dyn_state=None, resume=None):
         """Run the full outer loop; returns final (dyn_state, metrics_history).
 
         ``traj_sink``: optional cadm_tpu.utils.trajsink.TrajectorySink — each
         iteration's newly collected transitions are handed to the native
         async writer (one device→host transfer per iteration, never blocking
         the jitted loop).
-        ``start_itr``/``initial_dyn_state``: resume support — continue the
-        loop from a restored model state (replay is re-collected; the first
-        resumed iteration plans with the restored model rather than random).
+        ``resume``: a restored checkpoint payload (see checkpoint_payload)
+        plus "itr" (the step it was saved at) — continues with the exact
+        buffer/env/history/rng state, producing the same metrics as an
+        uninterrupted run.
+        ``start_itr``/``initial_dyn_state``: weaker warm-start path — restore
+        only the model state; replay is re-collected and the first resumed
+        iteration plans with the restored model rather than random.
         """
         import numpy as _np
 
         r_init, rng = jax.random.split(rng)
         env_states, hists, buffer, dyn_state = self.init(r_init)
-        if initial_dyn_state is not None:
+        if resume is not None:
+            dyn_state = resume["state"]
+            buffer = resume["buffer"]
+            env_states = resume["env_states"]
+            hists = resume["hists"]
+            rng = jax.random.wrap_key_data(jnp.asarray(resume["rng"]))
+            start_itr = int(resume["itr"]) + 1
+        elif initial_dyn_state is not None:
             dyn_state = initial_dyn_state
         history = []
         for itr in range(start_itr, self.cfg.n_itr):
@@ -407,7 +440,12 @@ class MBTrainer:
                     logger.logkv(k, v)
                 logger.dumpkvs()
             if checkpointer is not None:
-                checkpointer.save(itr, dyn_state)
+                checkpointer.save(
+                    itr,
+                    self.checkpoint_payload(
+                        env_states, hists, buffer, dyn_state, rng
+                    ),
+                )
             if traj_sink is not None:
                 n = self.cfg.steps_per_itr
                 end = int(buffer.ptr)

@@ -50,6 +50,10 @@ class PPOConfig:
     model_updates_per_itr: int = 200
     model_batch: int = 128
     buffer_capacity: int = 4096
+    # shifted-range evaluation (the point of PPO+CaDM, paper §4.3): full
+    # episodes with the DETERMINISTIC policy mean on each dynamics range
+    eval_envs: int = 16
+    eval_modes: Tuple[int, ...] = (0, 1, 2)
 
 
 @struct.dataclass
@@ -72,6 +76,10 @@ class PPOTrainer:
         self._collect = jax.jit(self._collect_impl)
         self._ppo_update = jax.jit(self._ppo_update_impl)
         self._fit_model = jax.jit(self._fit_model_impl)
+        self._evals = {
+            mode: jax.jit(lambda rng, ps, ds, m=mode: self._eval_impl(rng, ps, ds, m))
+            for mode in config.eval_modes
+        }
 
     # ------------------------------------------------------------- init --
     @property
@@ -140,7 +148,7 @@ class PPOTrainer:
         env, model, cfg = self.env, self.model, self.cfg
 
         def step(carry, k):
-            env_states, hists, buffer = carry
+            env_states, hists, buffer, ret_acc = carry
             z = jax.lax.stop_gradient(
                 model.context_from_history(
                     dyn_state.params, dyn_state.norm, hists
@@ -169,15 +177,19 @@ class PPOTrainer:
                 ),
                 pushed,
             )
+            # true episode returns, reported only at episode end
+            ret_acc = ret_acc + reward
+            ep_return = jnp.where(done, ret_acc, jnp.nan)
+            ret_acc = jnp.where(done, 0.0, ret_acc)
             out = dict(
                 obs_z=obs_z, act=act, logp=logp, value=value,
-                reward=reward, done=done,
+                reward=reward, done=done, ep_return=ep_return,
             )
-            return (next_states, hists, buffer), out
+            return (next_states, hists, buffer, ret_acc), out
 
         keys = jax.random.split(rng, cfg.rollout_len)
-        (env_states, hists, buffer), traj = jax.lax.scan(
-            step, (env_states, hists, buffer), keys
+        (env_states, hists, buffer, _), traj = jax.lax.scan(
+            step, (env_states, hists, buffer, jnp.zeros(cfg.n_envs)), keys
         )
         # bootstrap value of final state
         z = model.context_from_history(
@@ -289,42 +301,145 @@ class PPOTrainer:
         def upd(st, k):
             batch = buffer.sample_segments(
                 k, (model.cfg.n_members, cfg.model_batch),
-                model.cfg.history_k, model.cfg.future_m,
+                model.cfg.history_k, model.cfg.future_m, split="train",
             )
             st, metrics = model.update(st, batch)
             return st, metrics["model_loss"]
 
+        r_train, r_valid = jax.random.split(rng)
         dyn_state, losses = jax.lax.scan(
-            upd, dyn_state, jax.random.split(rng, cfg.model_updates_per_itr)
+            upd, dyn_state, jax.random.split(r_train, cfg.model_updates_per_itr)
         )
-        return dyn_state, {"fit/model_loss_last": losses[-1]}
+        val_batch = buffer.sample_segments(
+            r_valid, (model.cfg.n_members, cfg.model_batch),
+            model.cfg.history_k, model.cfg.future_m, split="valid",
+        )
+        val_loss, _ = model.loss(dyn_state.params, dyn_state.norm, val_batch)
+        return dyn_state, {
+            "fit/model_loss_last": losses[-1],
+            "fit/valid_loss": val_loss,
+        }
+
+    # -------------------------------------------------------------- eval --
+    def _eval_impl(self, rng, ppo_state, dyn_state, mode: int):
+        """Full single episodes with the deterministic policy mean on a
+        shifted dynamics range (paper §4.3's evaluation protocol)."""
+        env, model, cfg = self.env, self.model, self.cfg
+        r_reset, _ = jax.random.split(rng)
+        states = jax.vmap(lambda k: env.reset(k, mode))(
+            jax.random.split(r_reset, cfg.eval_envs)
+        )
+        hists = jax.vmap(
+            lambda _: History.zeros(
+                model.cfg.history_k, env.obs_dim, env.act_dim
+            )
+        )(jnp.arange(cfg.eval_envs))
+
+        def step(carry, _):
+            states, hists, ret, alive = carry
+            z = model.context_from_history(
+                dyn_state.params, dyn_state.norm, hists
+            )
+            obs_z = jnp.concatenate([states.obs, z], axis=-1)
+            act, _ = self._dist(ppo_state.params, obs_z)
+            act = jnp.clip(act, -1.0, 1.0)
+            prev_obs = states.obs
+            next_states, obs, reward, done = jax.vmap(
+                lambda s, a: env.step(s, a, mode)
+            )(states, act)
+            hists = jax.vmap(History.push)(hists, prev_obs, obs - prev_obs, act)
+            ret = ret + reward * alive
+            alive = alive * (1.0 - done.astype(jnp.float32))
+            return (next_states, hists, ret, alive), None
+
+        (_, _, returns, _), _ = jax.lax.scan(
+            step,
+            (
+                states, hists, jnp.zeros(cfg.eval_envs),
+                jnp.ones(cfg.eval_envs),
+            ),
+            None,
+            length=env.horizon,
+        )
+        return returns
+
+    # ------------------------------------------------------- checkpoint --
+    @staticmethod
+    def checkpoint_payload(env_states, hists, buffer, ppo_state, dyn_state, rng):
+        return {
+            "ppo_state": ppo_state,
+            "state": dyn_state,
+            "buffer": buffer,
+            "env_states": env_states,
+            "hists": hists,
+            "rng": jax.random.key_data(rng),
+        }
+
+    def resume_template(self):
+        env_states, hists, buffer, ppo_state, dyn_state = self.init(
+            jax.random.key(0)
+        )
+        return self.checkpoint_payload(
+            env_states, hists, buffer, ppo_state, dyn_state, jax.random.key(0)
+        )
 
     # ------------------------------------------------------------- train --
-    def train(self, rng: Array, logger=None, checkpointer=None):
+    def train(self, rng: Array, logger=None, checkpointer=None, resume=None):
+        import numpy as _np
+
         r_init, rng = jax.random.split(rng)
         env_states, hists, buffer, ppo_state, dyn_state = self.init(r_init)
+        start_itr = 0
+        if resume is not None:
+            ppo_state = resume["ppo_state"]
+            dyn_state = resume["state"]
+            buffer = resume["buffer"]
+            env_states = resume["env_states"]
+            hists = resume["hists"]
+            rng = jax.random.wrap_key_data(jnp.asarray(resume["rng"]))
+            start_itr = int(resume["itr"]) + 1
         history = []
-        for itr in range(self.cfg.n_itr):
-            rng, k_col, k_ppo, k_fit = jax.random.split(rng, 4)
+        for itr in range(start_itr, self.cfg.n_itr):
+            rng, k_col, k_ppo, k_fit, k_eval = jax.random.split(rng, 5)
             env_states, hists, buffer, traj, last_value = self._collect(
                 k_col, env_states, hists, buffer, ppo_state, dyn_state
             )
+            ep_returns = traj.pop("ep_return")
             ppo_state, ppo_metrics = self._ppo_update(
                 k_ppo, ppo_state, traj, last_value
             )
             dyn_state, fit_metrics = self._fit_model(k_fit, buffer, dyn_state)
-            ep_rew = traj["reward"].sum(axis=0).mean()  # per-env reward sum
+            finished = _np.isfinite(_np.asarray(ep_returns))
+            mean_ep = (
+                float(_np.asarray(ep_returns)[finished].mean())
+                if finished.any()
+                else float("nan")
+            )
             metrics = {
                 "itr": itr,
-                "collect/rollout_reward_per_env": float(ep_rew),
+                "collect/mean_episode_return": mean_ep,
+                "collect/episodes": int(finished.sum()),
+                "collect/rollout_reward_per_env": float(
+                    traj["reward"].sum(axis=0).mean()
+                ),
                 **{k: float(v) for k, v in ppo_metrics.items()},
                 **{k: float(v) for k, v in fit_metrics.items()},
             }
+            eval_keys = jax.random.split(k_eval, max(len(self._evals), 1))
+            for (mode, fn), k_mode in zip(self._evals.items(), eval_keys):
+                returns = fn(k_mode, ppo_state, dyn_state)
+                metrics[f"eval/return_mode{mode}"] = float(returns.mean())
+                metrics[f"eval/return_mode{mode}_std"] = float(returns.std())
             history.append(metrics)
             if logger is not None:
                 for k, v in metrics.items():
                     logger.logkv(k, v)
                 logger.dumpkvs()
             if checkpointer is not None:
-                checkpointer.save(itr, (ppo_state, dyn_state))
+                checkpointer.save(
+                    itr,
+                    self.checkpoint_payload(
+                        env_states, hists, buffer, ppo_state, dyn_state, rng
+                    ),
+                )
         return ppo_state, dyn_state, history

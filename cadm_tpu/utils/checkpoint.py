@@ -2,9 +2,12 @@
 
 Reference behavior (SURVEY.md §5 checkpoint row): joblib pickles of
 model+policy per outer iteration, manual resume. Here: Orbax saves of the
-full training pytree (dynamics state, env/collector state, replay buffer,
-rng, iteration counter) with deterministic resume — the elastic-recovery
-story the reference lacks.
+full training pytree — dynamics state, env/collector states, history rings,
+replay buffer, and the PRNG key — so ``--resume`` reproduces the exact
+metrics trajectory of an uninterrupted run (asserted by
+tests/test_resume.py). The trainer builds the payload
+(MBTrainer.checkpoint_payload) and the matching restore template
+(MBTrainer.resume_template); this class only moves pytrees.
 """
 from __future__ import annotations
 
@@ -28,7 +31,13 @@ class Checkpointer:
         )
 
     def save(self, step: int, state: Any, buffer: Any = None, wait: bool = False) -> None:
-        payload = {"state": state}
+        """Save a payload. ``state`` may be a bare model state or a full
+        training payload dict (MBTrainer.checkpoint_payload); ``buffer`` is
+        kept for back-compat with model-only call sites."""
+        if isinstance(state, dict):
+            payload = dict(state)
+        else:
+            payload = {"state": state}
         if buffer is not None and self.save_buffer:
             payload["buffer"] = buffer
         self.mngr.save(

@@ -41,29 +41,29 @@ FAMILY_BASE = {
     ),
     "half_cheetah": dict(
         env="half_cheetah", planner="cem", n_candidates=256, plan_horizon=30,
-        n_envs=2048, steps_per_itr=1000, n_itr=20, buffer_capacity=20000,
+        n_envs=2048, steps_per_itr=1000, n_itr=20, buffer_capacity=6000,
         batch_size=256, eval_envs=32, warm_start=True, fit_protocol="epochs",
     ),
     "cripple_ant": dict(
         env="cripple_ant", planner="cem", n_candidates=256, plan_horizon=30,
-        n_envs=1024, steps_per_itr=1000, n_itr=15, buffer_capacity=15000,
+        n_envs=1024, steps_per_itr=1000, n_itr=15, buffer_capacity=6000,
         batch_size=256, eval_envs=32, warm_start=True, fit_protocol="epochs",
     ),
     "slim_humanoid": dict(
         env="slim_humanoid", planner="cem", n_candidates=256, plan_horizon=30,
-        n_envs=512, steps_per_itr=500, n_itr=15, buffer_capacity=10000,
+        n_envs=512, steps_per_itr=500, n_itr=15, buffer_capacity=6000,
         batch_size=256, eval_envs=32, warm_start=True, fit_protocol="epochs",
     ),
     "hopper": dict(
         env="hopper", planner="cem", n_candidates=256, plan_horizon=30,
-        n_envs=512, steps_per_itr=500, n_itr=15, buffer_capacity=10000,
+        n_envs=512, steps_per_itr=500, n_itr=15, buffer_capacity=6000,
         batch_size=256, eval_envs=32, warm_start=True, fit_protocol="epochs",
     ),
     # bonus family (the paper's six are above; plain Ant is the mass/damping
     # variant of CrippleAnt)
     "ant": dict(
         env="ant", planner="cem", n_candidates=256, plan_horizon=30,
-        n_envs=1024, steps_per_itr=1000, n_itr=15, buffer_capacity=15000,
+        n_envs=1024, steps_per_itr=1000, n_itr=15, buffer_capacity=6000,
         batch_size=256, eval_envs=32, warm_start=True, fit_protocol="epochs",
     ),
 }
@@ -132,18 +132,27 @@ def main():
 
     for family, model, seed in cells:
         path = os.path.join(RESULTS_DIR, cell_name(family, model, seed) + ".json")
+        fail_path = path.replace(".json", ".failed")
         if os.path.exists(path):
             print(f"[matrix] skip (done): {cell_name(family, model, seed)}", flush=True)
+            continue
+        if os.path.exists(fail_path):
+            print(f"[matrix] skip (failed earlier): {cell_name(family, model, seed)}", flush=True)
             continue
         print(f"[matrix] run: {cell_name(family, model, seed)}", flush=True)
         try:
             result = run_cell(family, model, seed)
         except Exception:
+            tb = traceback.format_exc()
             print(f"[matrix] FAILED: {cell_name(family, model, seed)}", flush=True)
             traceback.print_exc()
-            fail_path = path.replace(".json", ".failed")
+            if "UNAVAILABLE" in tb or "worker process crashed" in tb:
+                # the backend died; a fresh process must reconnect — exit
+                # WITHOUT a .failed marker so the wrapper retries this cell
+                print("[matrix] backend crashed; exiting for restart", flush=True)
+                raise SystemExit(17)
             with open(fail_path, "w") as f:
-                f.write(traceback.format_exc())
+                f.write(tb)
             continue
         tmp = path + ".tmp"
         with open(tmp, "w") as f:

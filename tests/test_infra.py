@@ -77,13 +77,38 @@ def test_ppo_cadm_end_to_end():
         PPOConfig(
             n_envs=4, rollout_len=32, n_itr=2, ppo_epochs=2, minibatches=2,
             model_updates_per_itr=10, buffer_capacity=128,
+            eval_envs=4, eval_modes=(0, 2),
         ),
     )
     ppo_state, dyn_state, hist = trainer.train(jax.random.key(0))
     assert len(hist) == 2
     assert np.isfinite(hist[-1]["ppo/loss_last"])
     assert np.isfinite(hist[-1]["fit/model_loss_last"])
+    assert np.isfinite(hist[-1]["fit/valid_loss"])
     assert int(ppo_state.updates) == 2 * 2 * 2  # itr × epochs × minibatches
+    # shifted-range evaluation (paper §4.3): full-episode returns per mode
+    for mode in (0, 2):
+        assert np.isfinite(hist[-1][f"eval/return_mode{mode}"])
+        assert np.isfinite(hist[-1][f"eval/return_mode{mode}_std"])
+    # pendulum episode return is bounded below by -17*200; sanity band
+    assert -4000 < hist[-1]["eval/return_mode0"] < 0
+
+
+def test_ppo_preset_builds_and_cli_flag():
+    cfg = PRESETS["hopper_ppo_cadm"]
+    assert cfg.trainer == "ppo"
+    env, model, planner, trainer = cfg.build()
+    assert planner is None
+    assert type(trainer).__name__ == "PPOTrainer"
+    assert trainer.cfg.eval_modes == (0, 1, 2)
+
+    from cadm_tpu.cli.run import build_parser, config_from_args
+
+    args = build_parser().parse_args(
+        ["--trainer", "ppo", "--env", "hopper", "--model", "cadm"]
+    )
+    cfg = config_from_args(args)
+    assert cfg.trainer == "ppo" and cfg.env == "hopper"
 
 
 def test_mb_trainer_on_mesh():
