@@ -28,6 +28,10 @@ class ExperimentConfig:
     env: str = "cartpole"
     n_envs: int = 16
     randomization: str = "discrete"   # paper scale sets | "continuous" bands
+    # wrap in NormalizedEnv (the reference's normalize(); action rescaling
+    # from the canonical [-1,1] box onto native limits — obs whitening is
+    # opt-in via the wrapper directly, since planner rewards need raw obs)
+    normalize_env: bool = False
     # model
     model: str = "cadm"           # vanilla | stacked | cadm | rnn | grbal
     ensemble: int = 1             # >1 = PE-TS-style probabilistic ensemble
@@ -74,7 +78,7 @@ class ExperimentConfig:
             )
         if self.trainer == "ppo":
             return self._build_ppo(mesh)
-        env = make(self.env, randomization=self.randomization)
+        env = self._make_env()
         if self.model == "grbal":
             return self._build_grbal(env, mesh)
         context = {
@@ -133,12 +137,20 @@ class ExperimentConfig:
         )
         return env, model, planner, trainer
 
+    def _make_env(self):
+        env = make(self.env, randomization=self.randomization)
+        if self.normalize_env:
+            from cadm_tpu.envs.wrappers import NormalizedEnv
+
+            env = NormalizedEnv(env)
+        return env
+
     def _build_ppo(self, mesh):
         """PPO+CaDM stack (paper §4.3): policy on concat(obs, z) with the
         encoder fit jointly on the shared replay buffer."""
         from cadm_tpu.train.ppo import PPOConfig, PPOTrainer
 
-        env = make(self.env, randomization=self.randomization)
+        env = self._make_env()
         context = {"vanilla": "none", "stacked": "stacked", "cadm": "encoder"}[
             self.model
         ]

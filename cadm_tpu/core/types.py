@@ -59,28 +59,39 @@ class History:
       act:   (K, act_dim) past actions, oldest first.
       valid: (K,) 1.0 where the slot holds a real transition (post-reset
              slots are zero-padded and masked).
+      rnn_h: (H,) episode-recurrent encoder hidden state (ReBAL): carried
+             across the WHOLE trajectory, updated once per env step by
+             Dynamics.push_history, wiped (with the rest of the ring) on
+             reset. H = 0 for non-recurrent models.
     """
 
     obs: Array
     dobs: Array
     act: Array
     valid: Array
+    rnn_h: Array
 
     @staticmethod
-    def zeros(k: int, obs_dim: int, act_dim: int, dtype=jnp.float32) -> "History":
+    def zeros(
+        k: int, obs_dim: int, act_dim: int, dtype=jnp.float32, rnn_hidden: int = 0
+    ) -> "History":
         return History(
             obs=jnp.zeros((k, obs_dim), dtype),
             dobs=jnp.zeros((k, obs_dim), dtype),
             act=jnp.zeros((k, act_dim), dtype),
             valid=jnp.zeros((k,), dtype),
+            rnn_h=jnp.zeros((rnn_hidden,), dtype),
         )
 
     def push(self, obs: Array, dobs: Array, act: Array) -> "History":
+        """Window-only push; recurrent state is advanced by the model's
+        push_history (which knows the encoder params)."""
         return History(
             obs=jnp.roll(self.obs, -1, axis=0).at[-1].set(obs),
             dobs=jnp.roll(self.dobs, -1, axis=0).at[-1].set(dobs),
             act=jnp.roll(self.act, -1, axis=0).at[-1].set(act),
             valid=jnp.roll(self.valid, -1, axis=0).at[-1].set(1.0),
+            rnn_h=self.rnn_h,
         )
 
     def reset(self) -> "History":
@@ -92,6 +103,25 @@ class History:
         return jnp.concatenate(
             [(self.dobs * v).reshape(-1), (self.act * v).reshape(-1)]
         )
+
+
+def batched_history(model_cfg, n_envs: int) -> "History":
+    """A (n_envs,)-batched zero History sized for a model's config.
+
+    Recurrent-context models (ReBAL, context='rnn') get an ``rnn_h`` slot of
+    ``model_cfg.rnn_hidden``; everyone else gets a zero-width slot.
+    """
+    rh = (
+        model_cfg.rnn_hidden
+        if getattr(model_cfg, "context", "") == "rnn"
+        else 0
+    )
+    return jax.vmap(
+        lambda _: History.zeros(
+            model_cfg.history_k, model_cfg.obs_dim, model_cfg.act_dim,
+            rnn_hidden=rh,
+        )
+    )(jnp.arange(n_envs))
 
 
 @struct.dataclass

@@ -143,11 +143,13 @@ class Dynamics:
                 r_enc, [c.hist_dim, *c.encoder_hidden, c.z_dim]
             )
         elif c.context == "rnn":
-            # ReBAL-style recurrent context (SURVEY.md §2.1 "RNN dynamics"):
-            # a GRU consumes the past-K (Δobs, action) window; its final
-            # hidden state projects to z. The hidden state carries across
-            # the window only (re-encoded each step), so the planner treats
-            # z exactly like the CaDM latent.
+            # ReBAL recurrent context (SURVEY.md §2.1 "RNN dynamics"): a GRU
+            # over (Δobs, action) pairs whose hidden state projects to z.
+            # TRAINING runs the GRU over sampled K-windows from h0 = 0
+            # (truncated BPTT, the learning_to_adapt convention); ACTING is
+            # episode-recurrent — push_history advances a hidden state
+            # carried in History.rnn_h across the whole trajectory (reset on
+            # done), and the planner consumes its projection as z.
             r_gru, r_proj = jax.random.split(r_enc)
             params["encoder"] = {
                 "gru": gru_init(
@@ -183,11 +185,33 @@ class Dynamics:
 
         Planners treat the result as an opaque per-env context — an array
         here; gradient-adaptation models (GrBAL) return adapted parameter
-        pytrees instead.
+        pytrees instead. For ``context='rnn'`` (ReBAL) the context is the
+        projection of the EPISODE-recurrent hidden state carried in
+        ``History.rnn_h`` — not a re-encoding of the K-window.
         """
+        if self.cfg.context == "rnn":
+            return mlp_apply(params["encoder"]["proj"], hists.rnn_h)
         return self.get_context(
             params, norm, hists.dobs, hists.act, hists.valid
         )
+
+    def push_history(
+        self, params: PyTree, norm: NormStats, hists, obs, dobs, act
+    ):
+        """Advance (batched) histories by one transition.
+
+        Pushes the window ring and, for recurrent contexts, one GRU step on
+        the carried hidden state using the current encoder params/norm.
+        Callers wipe the returned History (including rnn_h) on done.
+        """
+        pushed = jax.vmap(type(hists).push)(hists, obs, dobs, act)
+        if self.cfg.context != "rnn":
+            return pushed
+        nd = (dobs - norm.dobs_mean) / norm.dobs_std
+        na = (act - norm.act_mean) / norm.act_std
+        x = jnp.concatenate([nd, na], axis=-1)
+        h = gru_apply(params["encoder"]["gru"], hists.rnn_h, x)
+        return dataclasses.replace(pushed, rnn_h=h)
 
     def get_context(
         self,

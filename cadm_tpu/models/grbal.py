@@ -131,6 +131,10 @@ class GrBAL:
         losses = jax.vmap(per_segment)(batch)
         return jnp.mean(losses), {"model_loss": jnp.mean(losses)}
 
+    def push_history(self, params: PyTree, norm: NormStats, hists, obs, dobs, act):
+        """Window-only history advance (no recurrent state in GrBAL)."""
+        return jax.vmap(type(hists).push)(hists, obs, dobs, act)
+
     def context_from_history(self, params: PyTree, norm: NormStats, hists):
         """Per-env ADAPTED fast weights from the history window.
 

@@ -72,6 +72,39 @@ def shard_leading_axis(tree: PyTree, sharding: NamedSharding) -> PyTree:
     return jax.tree.map(place, tree)
 
 
+def sharded_env_step(env, mesh: Optional[Mesh], n_envs: int, mode: int = 0):
+    """A vmapped ``env.step`` that runs PER-SHARD under shard_map over 'dp'.
+
+    The physics kernel dispatch (cadm_tpu.physics.rigid.dynamics) selects
+    the Pallas kernels via a custom_vmap rule; XLA's SPMD partitioner cannot
+    split a custom call, so under a dp-sharded env batch the kernels must be
+    invoked per shard. shard_map gives each shard its local env block, the
+    vmap inside sees a plain batch, and the kernel branch lowers exactly as
+    on one chip — zero collectives (collect is embarrassingly parallel).
+
+    Falls back to a plain vmap when there is no mesh or the batch does not
+    divide the dp axis (tiny eval batches).
+    """
+
+    def f(states, actions):
+        return jax.vmap(lambda s, a: env.step(s, a, mode))(states, actions)
+
+    if mesh is None or n_envs % mesh.shape["dp"] != 0:
+        f.is_sharded = False
+        return f
+    from jax.experimental.shard_map import shard_map
+
+    wrapped = shard_map(
+        f,
+        mesh=mesh,
+        in_specs=(P("dp"), P("dp")),
+        out_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
+        check_rep=False,
+    )
+    wrapped.is_sharded = True
+    return wrapped
+
+
 def shard_dynamics_state(state, mesh: Mesh):
     """Replicate a DynamicsState except the member-stacked heads (model axis).
 

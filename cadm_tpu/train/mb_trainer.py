@@ -20,7 +20,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from cadm_tpu.core.types import Array, History
+from cadm_tpu.core.types import Array, History, batched_history
 from cadm_tpu.envs.base import Env
 from cadm_tpu.models.dynamics import Dynamics, DynamicsState, NormStats
 from cadm_tpu.planners.mpc import MPCPlanner
@@ -84,6 +84,14 @@ class MBTrainer:
             mode: jax.jit(lambda rng, st, m=mode: self._eval_impl(rng, st, m))
             for mode in config.eval_modes
         }
+        from cadm_tpu.parallel.mesh import sharded_env_step
+
+        # per-shard kernel execution under a dp mesh (plain vmap otherwise)
+        self._step_collect = sharded_env_step(env, mesh, config.n_envs)
+        self._step_eval = {
+            mode: sharded_env_step(env, mesh, config.eval_envs, mode)
+            for mode in config.eval_modes
+        }
 
     # ------------------------------------------------------------- init --
     def init(self, rng: Array):
@@ -91,11 +99,7 @@ class MBTrainer:
         env_states = jax.vmap(self.env.reset)(
             jax.random.split(r_env, self.cfg.n_envs)
         )
-        hists = jax.vmap(
-            lambda _: History.zeros(
-                self.model.cfg.history_k, self.env.obs_dim, self.env.act_dim
-            )
-        )(jnp.arange(self.cfg.n_envs))
+        hists = batched_history(self.model.cfg, self.cfg.n_envs)
         buffer = ReplayBuffer.create(
             self.cfg.n_envs,
             self.cfg.buffer_capacity,
@@ -136,11 +140,14 @@ class MBTrainer:
                 )
             prev_obs = env_states.obs
             ep_step = env_states.t
-            next_states, obs, reward, done = jax.vmap(env.step)(
+            next_states, obs, reward, done = self._step_collect(
                 env_states, actions
             )
             buffer = buffer.append(prev_obs, actions, obs, done, ep_step)
-            pushed = jax.vmap(History.push)(hists, prev_obs, obs - prev_obs, actions)
+            pushed = model.push_history(
+                dyn_state.params, dyn_state.norm, hists,
+                prev_obs, obs - prev_obs, actions,
+            )
             # Auto-reset wipes the context window and warm-start plan
             # (new episode, new params).
             done_b = done.reshape((-1, 1, 1))
@@ -324,11 +331,7 @@ class MBTrainer:
         states = jax.vmap(lambda k: env.reset(k, mode))(
             jax.random.split(r_reset, cfg.eval_envs)
         )
-        hists = jax.vmap(
-            lambda _: History.zeros(
-                model.cfg.history_k, env.obs_dim, env.act_dim
-            )
-        )(jnp.arange(cfg.eval_envs))
+        hists = batched_history(model.cfg, cfg.eval_envs)
 
         def step(carry, k):
             states, hists, ret, alive, plan_mu = carry
@@ -339,10 +342,13 @@ class MBTrainer:
                 dyn_state, states.obs, z, k, plan_mu
             )
             prev_obs = states.obs
-            next_states, obs, reward, done = jax.vmap(
-                lambda s, a: env.step(s, a, mode)
-            )(states, actions)
-            hists = jax.vmap(History.push)(hists, prev_obs, obs - prev_obs, actions)
+            next_states, obs, reward, done = self._step_eval[mode](
+                states, actions
+            )
+            hists = model.push_history(
+                dyn_state.params, dyn_state.norm, hists,
+                prev_obs, obs - prev_obs, actions,
+            )
             # accumulate a single episode per env (stop at first done)
             ret = ret + reward * alive
             alive = alive * (1.0 - done.astype(jnp.float32))

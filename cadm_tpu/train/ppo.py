@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from cadm_tpu.core.types import Array, History, PyTree
+from cadm_tpu.core.types import Array, History, PyTree, batched_history
 from cadm_tpu.envs.base import Env
 from cadm_tpu.models.dynamics import Dynamics, DynamicsState
 from cadm_tpu.models.nets import mlp_apply, mlp_init
@@ -80,6 +80,13 @@ class PPOTrainer:
             mode: jax.jit(lambda rng, ps, ds, m=mode: self._eval_impl(rng, ps, ds, m))
             for mode in config.eval_modes
         }
+        from cadm_tpu.parallel.mesh import sharded_env_step
+
+        self._step_collect = sharded_env_step(env, mesh, config.n_envs)
+        self._step_eval = {
+            mode: sharded_env_step(env, mesh, config.eval_envs, mode)
+            for mode in config.eval_modes
+        }
 
     # ------------------------------------------------------------- init --
     @property
@@ -92,11 +99,7 @@ class PPOTrainer:
         env_states = jax.vmap(self.env.reset)(
             jax.random.split(r_env, cfg.n_envs)
         )
-        hists = jax.vmap(
-            lambda _: History.zeros(
-                self.model.cfg.history_k, self.env.obs_dim, self.env.act_dim
-            )
-        )(jnp.arange(cfg.n_envs))
+        hists = batched_history(self.model.cfg, cfg.n_envs)
         params = {
             "policy": mlp_init(
                 r_pol, [self._pol_in, *cfg.policy_hidden, self.env.act_dim]
@@ -164,11 +167,14 @@ class PPOTrainer:
                 ppo_state.params["value"], obs_z, activation=jnp.tanh
             )[..., 0]
             prev_obs, ep_step = env_states.obs, env_states.t
-            next_states, obs, reward, done = jax.vmap(env.step)(
+            next_states, obs, reward, done = self._step_collect(
                 env_states, act
             )
             buffer = buffer.append(prev_obs, act, obs, done, ep_step)
-            pushed = jax.vmap(History.push)(hists, prev_obs, obs - prev_obs, act)
+            pushed = model.push_history(
+                dyn_state.params, dyn_state.norm, hists,
+                prev_obs, obs - prev_obs, act,
+            )
             hists = jax.tree.map(
                 lambda new: jnp.where(
                     done.reshape((-1,) + (1,) * (new.ndim - 1)),
@@ -329,11 +335,7 @@ class PPOTrainer:
         states = jax.vmap(lambda k: env.reset(k, mode))(
             jax.random.split(r_reset, cfg.eval_envs)
         )
-        hists = jax.vmap(
-            lambda _: History.zeros(
-                model.cfg.history_k, env.obs_dim, env.act_dim
-            )
-        )(jnp.arange(cfg.eval_envs))
+        hists = batched_history(model.cfg, cfg.eval_envs)
 
         def step(carry, _):
             states, hists, ret, alive = carry
@@ -344,10 +346,13 @@ class PPOTrainer:
             act, _ = self._dist(ppo_state.params, obs_z)
             act = jnp.clip(act, -1.0, 1.0)
             prev_obs = states.obs
-            next_states, obs, reward, done = jax.vmap(
-                lambda s, a: env.step(s, a, mode)
-            )(states, act)
-            hists = jax.vmap(History.push)(hists, prev_obs, obs - prev_obs, act)
+            next_states, obs, reward, done = self._step_eval[mode](
+                states, act
+            )
+            hists = model.push_history(
+                dyn_state.params, dyn_state.norm, hists,
+                prev_obs, obs - prev_obs, act,
+            )
             ret = ret + reward * alive
             alive = alive * (1.0 - done.astype(jnp.float32))
             return (next_states, hists, ret, alive), None

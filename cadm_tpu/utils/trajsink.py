@@ -64,6 +64,12 @@ def _load():
     lib.trajsink_append.argtypes = [
         ctypes.c_void_p, ctypes.c_uint64, ctypes.c_char_p, ctypes.c_uint64
     ]
+    lib.trajsink_append2.restype = ctypes.c_int
+    lib.trajsink_append2.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_uint64, ctypes.c_char_p, ctypes.c_uint64,
+        ctypes.c_uint64, ctypes.c_char_p, ctypes.c_uint64,
+    ]
     lib.trajsink_flush.argtypes = [ctypes.c_void_p]
     lib.trajsink_dropped.restype = ctypes.c_uint64
     lib.trajsink_dropped.argtypes = [ctypes.c_void_p]
@@ -97,11 +103,15 @@ class TrajectorySink:
         meta = json.dumps(
             {"name": name, "dtype": str(arr.dtype), "shape": arr.shape}
         ).encode()
-        ok1 = self._lib.trajsink_append(self._h, TAG_META, meta, len(meta))
-        ok2 = self._lib.trajsink_append(
-            self._h, TAG_ARRAY, arr.tobytes(), arr.nbytes
+        # META + ARRAY enqueued atomically: both admitted or both dropped,
+        # so a reader can never pair an ARRAY with a stale earlier META.
+        return bool(
+            self._lib.trajsink_append2(
+                self._h,
+                TAG_META, meta, len(meta),
+                TAG_ARRAY, arr.tobytes(), arr.nbytes,
+            )
         )
-        return bool(ok1 and ok2)
 
     def flush(self) -> None:
         self._lib.trajsink_flush(self._h)

@@ -39,7 +39,7 @@ class Sink {
  public:
   Sink(const char* path, uint64_t max_queue_bytes)
       : max_queue_bytes_(max_queue_bytes), queued_bytes_(0), stop_(false),
-        dropped_(0), written_records_(0) {
+        in_flight_(false), dropped_(0), written_records_(0) {
     file_ = std::fopen(path, "wb");
     if (file_) {
       std::fwrite(kMagic, 1, sizeof(kMagic), file_);
@@ -71,9 +71,37 @@ class Sink {
     return true;
   }
 
+  // Enqueues TWO records atomically (e.g. a META/ARRAY pair): both are
+  // admitted or both dropped, so readers can never pair an ARRAY with a
+  // stale earlier META.
+  bool Append2(uint64_t tag1, const uint8_t* d1, uint64_t n1, uint64_t tag2,
+               const uint8_t* d2, uint64_t n2) {
+    if (!file_) return false;
+    {
+      std::lock_guard<std::mutex> lock(mu_);
+      if (queued_bytes_ + n1 + n2 > max_queue_bytes_) {
+        dropped_.fetch_add(2);
+        return false;
+      }
+      Record r1;
+      r1.tag = tag1;
+      r1.payload.assign(d1, d1 + n1);
+      Record r2;
+      r2.tag = tag2;
+      r2.payload.assign(d2, d2 + n2);
+      queued_bytes_ += n1 + n2;
+      queue_.push_back(std::move(r1));
+      queue_.push_back(std::move(r2));
+    }
+    cv_.notify_one();
+    return true;
+  }
+
+  // Durable: returns only after every enqueued record has been PHYSICALLY
+  // written (queue empty AND no record in flight between pop and fwrite).
   void Flush() {
     std::unique_lock<std::mutex> lock(mu_);
-    flush_cv_.wait(lock, [this] { return queue_.empty(); });
+    flush_cv_.wait(lock, [this] { return queue_.empty() && !in_flight_; });
     if (file_) std::fflush(file_);
   }
 
@@ -108,7 +136,7 @@ class Sink {
         r = std::move(queue_.front());
         queue_.pop_front();
         queued_bytes_ -= r.payload.size();
-        if (queue_.empty()) flush_cv_.notify_all();
+        in_flight_ = true;
       }
       uint64_t n = r.payload.size();
       std::fwrite(&r.tag, sizeof(r.tag), 1, file_);
@@ -117,6 +145,7 @@ class Sink {
       written_records_.fetch_add(1);
       {
         std::lock_guard<std::mutex> lock(mu_);
+        in_flight_ = false;
         if (queue_.empty()) flush_cv_.notify_all();
       }
     }
@@ -130,6 +159,7 @@ class Sink {
   std::condition_variable cv_;
   std::condition_variable flush_cv_;
   bool stop_;
+  bool in_flight_;
   std::thread worker_;
   std::atomic<uint64_t> dropped_;
   std::atomic<uint64_t> written_records_;
@@ -151,6 +181,13 @@ void* trajsink_open(const char* path, uint64_t max_queue_bytes) {
 int trajsink_append(void* handle, uint64_t tag, const uint8_t* data,
                     uint64_t nbytes) {
   return static_cast<Sink*>(handle)->Append(tag, data, nbytes) ? 1 : 0;
+}
+
+int trajsink_append2(void* handle, uint64_t tag1, const uint8_t* d1,
+                     uint64_t n1, uint64_t tag2, const uint8_t* d2,
+                     uint64_t n2) {
+  return static_cast<Sink*>(handle)->Append2(tag1, d1, n1, tag2, d2, n2) ? 1
+                                                                         : 0;
 }
 
 void trajsink_flush(void* handle) { static_cast<Sink*>(handle)->Flush(); }

@@ -1,0 +1,83 @@
+"""Pallas kernels under shard_map on a dp mesh (VERDICT r1 item 6).
+
+XLA's SPMD partitioner cannot split a Pallas custom call across a sharded
+env batch; parallel.mesh.sharded_env_step wraps the vmapped env.step in
+shard_map so each shard runs the kernels on its local block. These tests
+prove (a) the ACTUAL fused kernel (interpret mode) executes per-shard with
+results identical to the unsharded call, and (b) the full rigid-env collect
+path runs on a (dp, model) mesh through the trainer.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from cadm_tpu.envs.rigid_base import load_system
+from cadm_tpu.ops.fk_kernel import full_dyn_pallas
+
+needs_mesh = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def _states(sys_, n):
+    rng = np.random.RandomState(0)
+    qpos = sys_.default_qpos() + rng.uniform(-0.05, 0.05, (n, sys_.nq))
+    qvel = rng.uniform(-1, 1, (n, sys_.nv))
+    ctrl = rng.uniform(-1, 1, (n, sys_.nu))
+    ms = rng.uniform(0.8, 1.2, (n,))
+    ds = rng.uniform(0.8, 1.2, (n,))
+    am = np.ones((n, sys_.nu))
+    return tuple(map(jnp.asarray, (qpos, qvel, ctrl, ms, ds, am)))
+
+
+@needs_mesh
+def test_fused_kernel_runs_per_shard():
+    from jax.experimental.shard_map import shard_map
+
+    from cadm_tpu.parallel.mesh import make_mesh
+
+    sys_ = load_system("half_cheetah.xml")
+    mesh = make_mesh(dp=4, model=2)
+    args = _states(sys_, 8)
+
+    def per_shard(*a):
+        d = full_dyn_pallas(sys_, *a, interpret=True)
+        return d["minv"], d["v_pred"][..., 0]
+
+    sharded = shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P("dp"),) * 6, out_specs=(P("dp"), P("dp")),
+        check_rep=False,
+    )
+    minv_s, v_s = jax.jit(sharded)(*args)
+    d_ref = full_dyn_pallas(sys_, *args, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(minv_s), np.asarray(d_ref["minv"]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(v_s), np.asarray(d_ref["v_pred"][..., 0]), atol=1e-5
+    )
+
+
+@needs_mesh
+def test_rigid_env_collect_on_mesh():
+    """Cheetah collect+fit through the trainer on a (dp=4, model=2) mesh —
+    sharded_env_step is the step path (shard_map, not partitioner-split)."""
+    from cadm_tpu.cli.presets import ExperimentConfig
+    from cadm_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(dp=4, model=2)
+    cfg = ExperimentConfig(
+        env="half_cheetah", model="cadm", ensemble=2, planner="cem",
+        n_envs=8, n_candidates=8, plan_horizon=3, cem_iters=2, cem_elites=4,
+        steps_per_itr=6, n_itr=1, model_updates_per_itr=2, batch_size=8,
+        buffer_capacity=32, eval_envs=8, eval_modes=(0,),
+        history_k=3, future_m=2, hidden=(32,), z_dim=4,
+    )
+    env, model, planner, trainer = cfg.build(mesh=mesh)
+    assert trainer._step_collect.is_sharded  # the shard_map wrapper
+    dyn_state, hist = trainer.train(jax.random.key(0))
+    assert np.isfinite(hist[0]["fit/model_loss_last"])
+    assert np.isfinite(hist[0]["eval/return_mode0"])

@@ -41,3 +41,44 @@ def test_backpressure_drops_not_blocks(tmp_path):
     assert not ok  # dropped, returned immediately
     assert s.dropped >= 1
     s.close()
+
+
+def test_meta_array_pairs_drop_atomically(tmp_path):
+    """Under queue pressure META+ARRAY drop TOGETHER (ADVICE r1): a reader
+    must never pair an ARRAY with a stale earlier META."""
+    path = str(tmp_path / "pressure.bin")
+    s = TrajectorySink(path, max_queue_mb=1)
+    n_ok, n_drop = 0, 0
+    # flood with ~700KB arrays tagged with their index so misnamed pairings
+    # would be detectable after the fact
+    arrays = {}
+    for i in range(50):
+        a = np.full((180_000,), i, dtype=np.float32)
+        arrays[f"a{i}"] = a
+        if s.append(f"a{i}", a):
+            n_ok += 1
+        else:
+            n_drop += 1
+    s.flush()
+    s.close()
+    assert n_ok >= 1
+    out = dict(read_trajfile(path))
+    assert len(out) == n_ok  # every surviving record is a complete pair
+    for name, arr in out.items():
+        i = int(name[1:])
+        assert (arr == i).all(), f"ARRAY paired with wrong META: {name}"
+
+
+def test_flush_is_durable(tmp_path):
+    """Flush() returns only after the last record hit the file (ADVICE r1:
+    the in-flight record between pop and fwrite must be awaited)."""
+    path = str(tmp_path / "durable.bin")
+    s = TrajectorySink(path)
+    for rep in range(20):
+        a = np.random.randn(100_000).astype(np.float32)
+        assert s.append(f"x{rep}", a)
+        s.flush()
+        # after flush, the file must already parse through record rep
+        names = [n for n, _ in read_trajfile(path)]
+        assert names == [f"x{k}" for k in range(rep + 1)]
+    s.close()
