@@ -39,6 +39,13 @@ class PlannerConfig:
     cem_alpha: float = 0.1     # momentum on (mu, sigma) across CEM iterations
     init_sigma: float = 0.5
     warm_start: bool = False   # receding-horizon: shift last plan's mean
+    # Cap on env×candidate rollout rows evaluated in one parallel block.
+    # The current libtpu faults ("TPU worker process crashed") when a single
+    # planner program exceeds 2^16 env×candidate rows (empirically: 256×256
+    # and 512×128 run, 320×256 and 512×256 crash — measured 2026-08-16 on
+    # the tunneled v5e). plan() splits the env axis into sequential chunks
+    # under this budget; throughput per chunk is unchanged.
+    max_parallel_rollouts: int = 65536
 
 
 class MPCPlanner:
@@ -143,15 +150,53 @@ class MPCPlanner:
         rng: Array,
         prev_mu: Optional[Array] = None,
     ) -> Tuple[Array, Array]:
-        """Batched planning → (actions (E, act), plan means (E, H, act))."""
+        """Batched planning → (actions (E, act), plan means (E, H, act)).
+
+        The env axis is split into sequential chunks so no single parallel
+        block exceeds ``max_parallel_rollouts`` env×candidate rows (see
+        PlannerConfig — works around a libtpu fault above 2^16 rows).
+        """
+        e = obs.shape[0]
         if prev_mu is None:
-            prev_mu = self.init_plan(obs.shape[0])
-        keys = jax.random.split(rng, obs.shape[0])
-        return jax.vmap(
+            prev_mu = self.init_plan(e)
+        f = jax.vmap(
             lambda o, zz, m, k: self._plan_single(
                 state.params, state.norm, o, zz, m, k
             )
-        )(obs, z, prev_mu, keys)
+        )
+        chunk = max(1, self.cfg.max_parallel_rollouts // self.cfg.n_candidates)
+        if e <= chunk:
+            return f(obs, z, prev_mu, jax.random.split(rng, e))
+        n_chunks = -(-e // chunk)
+        pad = n_chunks * chunk - e
+        keys = jax.random.split(rng, n_chunks * chunk)
+
+        # z may be a pytree (GrBAL adapted weights), so chunk via tree.map
+        def pad_rows(t):
+            if not pad:
+                return t
+            return jax.tree.map(
+                lambda x: jnp.concatenate([x, x[:pad]], axis=0), t
+            )
+
+        def to_chunks(t):
+            return jax.tree.map(
+                lambda x: x.reshape((n_chunks, chunk) + x.shape[1:]), t
+            )
+
+        obs_c, z_c, mu_c, keys_c = (
+            to_chunks(pad_rows(obs)),
+            to_chunks(pad_rows(z)),
+            to_chunks(pad_rows(prev_mu)),
+            to_chunks(keys),
+        )
+        actions, mus = jax.lax.map(
+            lambda args: f(*args), (obs_c, z_c, mu_c, keys_c)
+        )
+        def flat(x):
+            return x.reshape((n_chunks * chunk,) + x.shape[2:])[:e]
+
+        return flat(actions), flat(mus)
 
     def act(
         self, state: DynamicsState, obs: Array, z: Array, rng: Array

@@ -156,3 +156,41 @@ def test_warm_start_plan_threading():
 
     final, xs = run(obs, mu, jax.random.key(0))
     assert float(jnp.abs(final[:, 0]).max()) < 0.4
+
+
+def test_chunked_plan_matches_unchunked():
+    """Env-axis chunking (libtpu 2^16-row workaround) is semantics-free:
+    with the same rng and no padding, chunked == unchunked exactly."""
+    import dataclasses
+
+    import numpy as np
+
+    from cadm_tpu.models.dynamics import Dynamics, DynamicsConfig
+    from cadm_tpu.planners.mpc import MPCPlanner, PlannerConfig
+
+    model = Dynamics(
+        DynamicsConfig(obs_dim=3, act_dim=2, hidden=(16,), context="encoder",
+                       z_dim=4, history_k=3, future_m=2)
+    )
+    state = model.init_state(jax.random.key(0))
+    reward = lambda o, a, no: no[..., 0] - 0.1 * jnp.sum(a**2, axis=-1)
+    cfg = PlannerConfig(kind="cem", horizon=4, n_candidates=16, cem_iters=2,
+                        cem_elites=4, warm_start=True)
+    e = 8
+    obs = jax.random.normal(jax.random.key(1), (e, 3))
+    z = jax.random.normal(jax.random.key(2), (e, 4))
+    mu = jnp.zeros((e, 4, 2))
+    big = MPCPlanner(cfg, model, reward, 2)
+    small = MPCPlanner(
+        dataclasses.replace(cfg, max_parallel_rollouts=16 * 4), model, reward, 2
+    )  # chunk = 4 envs → 2 chunks, no padding
+    a1, m1 = big.plan(state, obs, z, jax.random.key(3), mu)
+    a2, m2 = small.plan(state, obs, z, jax.random.key(3), mu)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-6)
+
+    # padded case (e=6 over chunks of 4): valid shapes, deterministic
+    a3, m3 = small.plan(state, obs[:6], z[:6], jax.random.key(4), mu[:6])
+    a4, _ = small.plan(state, obs[:6], z[:6], jax.random.key(4), mu[:6])
+    assert a3.shape == (6, 2) and m3.shape == (6, 4, 2)
+    np.testing.assert_allclose(np.asarray(a3), np.asarray(a4))
