@@ -57,6 +57,7 @@ class ExperimentConfig:
     buffer_capacity: int = 8000
     eval_envs: int = 16
     eval_modes: Tuple[int, ...] = (0, 1, 2)
+    eval_every: int = 1
     seed: int = 0
     # fit protocol (SURVEY §3.3): "epochs" = reference-style epoch passes
     # with early stop on held-out valid loss; "fixed" = flat update scan
@@ -128,6 +129,7 @@ class ExperimentConfig:
                 buffer_capacity=self.buffer_capacity,
                 eval_envs=self.eval_envs,
                 eval_modes=self.eval_modes,
+                eval_every=self.eval_every,
                 fit_protocol=self.fit_protocol,
                 max_epochs=self.max_epochs,
                 early_stop_patience=self.early_stop_patience,
@@ -228,6 +230,7 @@ class ExperimentConfig:
                 buffer_capacity=self.buffer_capacity,
                 eval_envs=self.eval_envs,
                 eval_modes=self.eval_modes,
+                eval_every=self.eval_every,
                 fit_protocol=self.fit_protocol,
                 max_epochs=self.max_epochs,
                 early_stop_patience=self.early_stop_patience,

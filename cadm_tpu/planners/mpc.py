@@ -142,6 +142,18 @@ class MPCPlanner:
         """Zero warm-start means, (E, H, act_dim)."""
         return jnp.zeros((n_envs, self.cfg.horizon, self.act_dim))
 
+    def _rows_per_env(self) -> int:
+        """Parallel rollout rows one env contributes to a planner block.
+
+        ``_evaluate`` broadcasts every candidate over all ensemble members
+        (TS∞ member-blocked scoring), so the row count that trips the libtpu
+        2^16 fault is candidates × members — NOT candidates alone (the
+        5-member PE-TS configs crashed at 256 envs × 256 cand × 5 members
+        until members were counted here).
+        """
+        members = getattr(self.model.cfg, "n_members", 1)
+        return self.cfg.n_candidates * max(1, members)
+
     def plan(
         self,
         state: DynamicsState,
@@ -164,7 +176,7 @@ class MPCPlanner:
                 state.params, state.norm, o, zz, m, k
             )
         )
-        chunk = max(1, self.cfg.max_parallel_rollouts // self.cfg.n_candidates)
+        chunk = max(1, self.cfg.max_parallel_rollouts // self._rows_per_env())
         if e <= chunk:
             return f(obs, z, prev_mu, jax.random.split(rng, e))
         n_chunks = -(-e // chunk)

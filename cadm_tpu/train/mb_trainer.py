@@ -38,6 +38,10 @@ class TrainerConfig:
     random_first_itr: bool = True
     eval_envs: int = 8
     eval_modes: Tuple[int, ...] = (0, 1, 2)
+    # evaluate every k-th iteration (the final iteration always evaluates —
+    # eval episodes are full planner-driven rollouts and can rival collect
+    # cost, so sweeps raise this to trade curve resolution for wall-clock)
+    eval_every: int = 1
     # --- fit protocol (SURVEY §3.3: the reference fits with epoch passes
     # over the aggregated dataset, persistent train/valid split, and stops
     # when valid loss stops improving) -----------------------------------
@@ -431,11 +435,16 @@ class MBTrainer:
             )
             dyn_state, fit_metrics = self._fit(k_fit, buffer, dyn_state)
             metrics = {"itr": itr, **col_metrics, **fit_metrics}
-            eval_keys = jax.random.split(k_eval, max(len(self._evals), 1))
-            for (mode, fn), k_mode in zip(self._evals.items(), eval_keys):
-                returns = fn(k_mode, dyn_state)
-                metrics[f"eval/return_mode{mode}"] = returns.mean()
-                metrics[f"eval/return_mode{mode}_std"] = returns.std()
+            do_eval = (
+                (itr + 1) % self.cfg.eval_every == 0
+                or itr == self.cfg.n_itr - 1
+            )
+            if do_eval:
+                eval_keys = jax.random.split(k_eval, max(len(self._evals), 1))
+                for (mode, fn), k_mode in zip(self._evals.items(), eval_keys):
+                    returns = fn(k_mode, dyn_state)
+                    metrics[f"eval/return_mode{mode}"] = returns.mean()
+                    metrics[f"eval/return_mode{mode}_std"] = returns.std()
             metrics = {
                 k: (float(v) if hasattr(v, "item") else v)
                 for k, v in metrics.items()

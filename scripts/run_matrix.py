@@ -18,16 +18,22 @@ import argparse
 import dataclasses
 import json
 import os
+import sys
 import time
 import traceback
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+# running as `python scripts/run_matrix.py` puts scripts/ (not the repo
+# root) on sys.path — add the root so cadm_tpu imports without installation
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 RESULTS_DIR = os.path.join(os.path.dirname(__file__), "..", "results", "raw")
 
-# Per-family scales: the round-1 validated configurations (BASELINE.md),
-# warm-started CEM (2-5x returns vs cold), epoch fit protocol, eval_envs
-# raised to 32 for lower-variance return estimates.
+# Per-family scales: right-sized from the round-1 validated runs (BASELINE.md
+# seed-1 cheetah: ~1.3M env steps, warm-started CEM 256 cand H30 → eval 6574
+# in 8.4 min). Wall-clock per cell must stay ~5-12 min so the full
+# 6×3×2 matrix fits a round; returns saturate near ~1-2M env steps at these
+# model sizes, so bigger env batches only buy planner cost, not returns.
 FAMILY_BASE = {
     "cartpole": dict(
         env="cartpole", planner="rs", n_candidates=500, plan_horizon=20,
@@ -41,30 +47,35 @@ FAMILY_BASE = {
     ),
     "half_cheetah": dict(
         env="half_cheetah", planner="cem", n_candidates=256, plan_horizon=30,
-        n_envs=2048, steps_per_itr=1000, n_itr=20, buffer_capacity=6000,
+        n_envs=256, steps_per_itr=500, n_itr=12, buffer_capacity=6000,
         batch_size=256, eval_envs=32, warm_start=True, fit_protocol="epochs",
+        eval_every=3,
     ),
     "cripple_ant": dict(
         env="cripple_ant", planner="cem", n_candidates=256, plan_horizon=30,
-        n_envs=1024, steps_per_itr=1000, n_itr=15, buffer_capacity=6000,
+        n_envs=256, steps_per_itr=500, n_itr=12, buffer_capacity=6000,
         batch_size=256, eval_envs=32, warm_start=True, fit_protocol="epochs",
+        eval_every=3,
     ),
     "slim_humanoid": dict(
         env="slim_humanoid", planner="cem", n_candidates=256, plan_horizon=30,
-        n_envs=512, steps_per_itr=500, n_itr=15, buffer_capacity=6000,
+        n_envs=256, steps_per_itr=500, n_itr=12, buffer_capacity=6000,
         batch_size=256, eval_envs=32, warm_start=True, fit_protocol="epochs",
+        eval_every=3,
     ),
     "hopper": dict(
         env="hopper", planner="cem", n_candidates=256, plan_horizon=30,
-        n_envs=512, steps_per_itr=500, n_itr=15, buffer_capacity=6000,
+        n_envs=256, steps_per_itr=500, n_itr=12, buffer_capacity=6000,
         batch_size=256, eval_envs=32, warm_start=True, fit_protocol="epochs",
+        eval_every=3,
     ),
     # bonus family (the paper's six are above; plain Ant is the mass/damping
     # variant of CrippleAnt)
     "ant": dict(
         env="ant", planner="cem", n_candidates=256, plan_horizon=30,
-        n_envs=1024, steps_per_itr=1000, n_itr=15, buffer_capacity=6000,
+        n_envs=256, steps_per_itr=500, n_itr=12, buffer_capacity=6000,
         batch_size=256, eval_envs=32, warm_start=True, fit_protocol="epochs",
+        eval_every=3,
     ),
 }
 
@@ -116,11 +127,13 @@ def main():
     args = ap.parse_args()
 
     os.makedirs(RESULTS_DIR, exist_ok=True)
+    # seed-major order: one full family×model sweep completes per seed, so a
+    # partial run still yields full matrix coverage at 1 seed
     cells = [
         (f, m, s)
+        for s in args.seeds
         for f in args.families
         for m in args.models
-        for s in args.seeds
     ]
     if args.list:
         for c in cells:

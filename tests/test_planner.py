@@ -194,3 +194,33 @@ def test_chunked_plan_matches_unchunked():
     a4, _ = small.plan(state, obs[:6], z[:6], jax.random.key(4), mu[:6])
     assert a3.shape == (6, 2) and m3.shape == (6, 4, 2)
     np.testing.assert_allclose(np.asarray(a3), np.asarray(a4))
+
+
+def test_chunk_budget_counts_ensemble_members():
+    """The libtpu row fault counts candidates × MEMBERS per env (the PE-TS
+    5-member configs crashed until members entered the chunk budget)."""
+    from cadm_tpu.models.dynamics import Dynamics, DynamicsConfig
+    from cadm_tpu.planners.mpc import MPCPlanner, PlannerConfig
+
+    reward = lambda o, a, no: no[..., 0]
+    mk = lambda members: MPCPlanner(
+        PlannerConfig(kind="cem", horizon=3, n_candidates=16, cem_elites=4,
+                      max_parallel_rollouts=64),
+        Dynamics(DynamicsConfig(obs_dim=3, act_dim=2, hidden=(8,),
+                                n_members=members,
+                                probabilistic=members > 1,
+                                history_k=2, future_m=1)),
+        reward, 2,
+    )
+    assert mk(1)._rows_per_env() == 16
+    assert mk(4)._rows_per_env() == 64
+    # 64-row budget with 4 members x 16 candidates -> 1 env per chunk
+    planner = mk(4)
+    chunk = max(1, planner.cfg.max_parallel_rollouts // planner._rows_per_env())
+    assert chunk == 1
+    # and planning still works end to end at that chunking
+    state = planner.model.init_state(jax.random.key(0))
+    obs = jax.random.normal(jax.random.key(1), (3, 3))
+    z = jnp.zeros((3, 0))
+    a, m = planner.plan(state, obs, z, jax.random.key(2))
+    assert a.shape == (3, 2)
