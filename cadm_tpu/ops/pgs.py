@@ -71,7 +71,9 @@ def _pgs_kernel(nc: int, iters: int, A_ref, b_ref, vstar_ref, actmu_ref, lam_ref
     jax.lax.fori_loop(0, iters, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("nc", "iters", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("nc", "iters", "interpret", "block")
+)
 def pgs_solve(
     A: Array,
     b: Array,
@@ -80,10 +82,15 @@ def pgs_solve(
     nc: int,
     iters: int,
     interpret: bool = False,
+    block: int = 0,
 ) -> Array:
-    """Batched PGS: A (E,3nc,3nc), b (E,3nc), vstar/actmu (E,nc) → λ (E,3nc)."""
+    """Batched PGS: A (E,3nc,3nc), b (E,3nc), vstar/actmu (E,nc) → λ (E,3nc).
+
+    ``block``: env-block override (0 = auto via the VMEM budget). Interpret-
+    mode tests pass a tiny block so the padded batch stays small.
+    """
     e = A.shape[0]
-    block = _block_for(nc)
+    block = block or _block_for(nc)
     pad = (-e) % block
     if pad:
         A = jnp.concatenate(

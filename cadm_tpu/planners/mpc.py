@@ -39,6 +39,15 @@ class PlannerConfig:
     cem_alpha: float = 0.1     # momentum on (mu, sigma) across CEM iterations
     init_sigma: float = 0.5
     warm_start: bool = False   # receding-horizon: shift last plan's mean
+    # Ensemble propagation for n_members > 1:
+    #   'assign' (default) — TS1-style: candidates are partitioned across
+    #     members, each candidate rolled out under ONE member (PETS trajectory
+    #     sampling; candidate count is padded up to a member multiple).
+    #     Rollout rows per env = n_candidates — 5-member planning costs the
+    #     same as single-model planning.
+    #   'mean' — TS∞-mean: every candidate under EVERY member, scored by the
+    #     mean return (rows = candidates × members; 5x the compute).
+    ensemble_eval: str = "assign"
     # Cap on env×candidate rollout rows evaluated in one parallel block.
     # The current libtpu faults ("TPU worker process crashed") when a single
     # planner program exceeds 2^16 env×candidate rows (empirically: 256×256
@@ -65,28 +74,54 @@ class MPCPlanner:
         actions: Array,   # (C, H, act_dim)
         rng: Array,
     ) -> Array:
-        """Return of each candidate sequence, averaged over ensemble members."""
+        """Return of each candidate sequence under the ensemble.
+
+        'assign' (TS1): candidate i runs under member i*n//C — one rollout
+        per candidate. 'mean' (TS∞-mean): every candidate under every member,
+        scored by the member-mean return. See PlannerConfig.ensemble_eval.
+        """
         n = self.model.cfg.n_members
         c = actions.shape[0]
-        obs = jnp.broadcast_to(obs0, (n, c, obs0.shape[-1]))
-        z_b = jnp.broadcast_to(z, (n, c, z.shape[-1]))
+        assign = self.cfg.ensemble_eval == "assign" and n > 1
+        if assign:
+            # pad candidates up to a member multiple, block-partition
+            cm = -(-c // n)                      # candidates per member
+            pad = cm * n - c
+            if pad:
+                actions = jnp.concatenate([actions, actions[:pad]], axis=0)
+            acts = actions.reshape(n, cm, *actions.shape[1:])
+            obs = jnp.broadcast_to(obs0, (n, cm, obs0.shape[-1]))
+            z_b = jnp.broadcast_to(z, (n, cm, z.shape[-1]))
+        else:
+            acts = None
+            obs = jnp.broadcast_to(obs0, (n, c, obs0.shape[-1]))
+            z_b = jnp.broadcast_to(z, (n, c, z.shape[-1]))
 
         def step(carry, a_t):
+            # a_t: (n, cm, act) in assign mode, (C, act) in mean mode
             obs, rng = carry
             rng, k = jax.random.split(rng)
             keys = jax.random.split(k, n)
-            a_b = jnp.broadcast_to(a_t, (n, c, a_t.shape[-1]))
+            if assign:
+                a_b = a_t
+            else:
+                a_b = jnp.broadcast_to(a_t, (n, c, a_t.shape[-1]))
             next_obs = jax.vmap(
-                lambda fwd_m, o, zz, kk: self.model.predict(
-                    params, norm, fwd_m, o, a_t, zz, kk
+                lambda fwd_m, o, a_m, zz, kk: self.model.predict(
+                    params, norm, fwd_m, o, a_m, zz, kk
                 )
-            )(params["fwd"], obs, z_b, keys)
-            r = self.reward_fn(obs, a_b, next_obs)  # (n, C)
+            )(params["fwd"], obs, a_b, z_b, keys)
+            r = self.reward_fn(obs, a_b, next_obs)  # (n, cm|C)
             return (next_obs, rng), r
 
-        (_, _), rewards = jax.lax.scan(
-            step, (obs, rng), jnp.swapaxes(actions, 0, 1)
+        a_seq = (
+            jnp.swapaxes(acts, 0, 2).swapaxes(1, 2)   # (H, n, cm, act)
+            if assign
+            else jnp.swapaxes(actions, 0, 1)          # (H, C, act)
         )
+        (_, _), rewards = jax.lax.scan(step, (obs, rng), a_seq)
+        if assign:
+            return rewards.sum(axis=0).reshape(n * cm)[:c]  # (C,)
         return rewards.sum(axis=0).mean(axis=0)  # (C,)
 
     # ---------------------------------------------------------------- act --
@@ -145,14 +180,18 @@ class MPCPlanner:
     def _rows_per_env(self) -> int:
         """Parallel rollout rows one env contributes to a planner block.
 
-        ``_evaluate`` broadcasts every candidate over all ensemble members
-        (TS∞ member-blocked scoring), so the row count that trips the libtpu
-        2^16 fault is candidates × members — NOT candidates alone (the
-        5-member PE-TS configs crashed at 256 envs × 256 cand × 5 members
-        until members were counted here).
+        In 'mean' ensemble mode ``_evaluate`` broadcasts every candidate over
+        all members, so the row count that trips the libtpu 2^16 fault is
+        candidates × members — NOT candidates alone (the 5-member PE-TS
+        configs crashed at 256 envs × 256 cand × 5 members until members
+        were counted here). In 'assign' (TS1) mode each candidate rolls out
+        under exactly one member: rows = candidates (padded to a member
+        multiple).
         """
-        members = getattr(self.model.cfg, "n_members", 1)
-        return self.cfg.n_candidates * max(1, members)
+        members = max(1, getattr(self.model.cfg, "n_members", 1))
+        if self.cfg.ensemble_eval == "assign" or members == 1:
+            return -(-self.cfg.n_candidates // members) * members
+        return self.cfg.n_candidates * members
 
     def plan(
         self,

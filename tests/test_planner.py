@@ -197,30 +197,65 @@ def test_chunked_plan_matches_unchunked():
 
 
 def test_chunk_budget_counts_ensemble_members():
-    """The libtpu row fault counts candidates × MEMBERS per env (the PE-TS
-    5-member configs crashed until members entered the chunk budget)."""
+    """The libtpu row fault counts the rows _evaluate actually creates:
+    candidates × MEMBERS in 'mean' mode (the PE-TS 5-member configs crashed
+    until members entered the chunk budget), member-padded candidates in the
+    default TS1 'assign' mode."""
     from cadm_tpu.models.dynamics import Dynamics, DynamicsConfig
     from cadm_tpu.planners.mpc import MPCPlanner, PlannerConfig
 
     reward = lambda o, a, no: no[..., 0]
-    mk = lambda members: MPCPlanner(
+    mk = lambda members, mode: MPCPlanner(
         PlannerConfig(kind="cem", horizon=3, n_candidates=16, cem_elites=4,
-                      max_parallel_rollouts=64),
+                      max_parallel_rollouts=64, ensemble_eval=mode),
         Dynamics(DynamicsConfig(obs_dim=3, act_dim=2, hidden=(8,),
                                 n_members=members,
                                 probabilistic=members > 1,
                                 history_k=2, future_m=1)),
         reward, 2,
     )
-    assert mk(1)._rows_per_env() == 16
-    assert mk(4)._rows_per_env() == 64
-    # 64-row budget with 4 members x 16 candidates -> 1 env per chunk
-    planner = mk(4)
-    chunk = max(1, planner.cfg.max_parallel_rollouts // planner._rows_per_env())
-    assert chunk == 1
-    # and planning still works end to end at that chunking
-    state = planner.model.init_state(jax.random.key(0))
-    obs = jax.random.normal(jax.random.key(1), (3, 3))
-    z = jnp.zeros((3, 0))
-    a, m = planner.plan(state, obs, z, jax.random.key(2))
-    assert a.shape == (3, 2)
+    assert mk(1, "mean")._rows_per_env() == 16
+    assert mk(4, "mean")._rows_per_env() == 64
+    assert mk(4, "assign")._rows_per_env() == 16
+    assert mk(3, "assign")._rows_per_env() == 18  # padded to member multiple
+    # 64-row budget with 4 members x 16 candidates in mean mode
+    # -> 1 env per chunk; planning still works end to end at that chunking
+    for mode in ("mean", "assign"):
+        planner = mk(4, mode)
+        state = planner.model.init_state(jax.random.key(0))
+        obs = jax.random.normal(jax.random.key(1), (3, 3))
+        z = jnp.zeros((3, 0))
+        a, m = planner.plan(state, obs, z, jax.random.key(2))
+        assert a.shape == (3, 2)
+        assert bool(jnp.isfinite(a).all())
+
+
+def test_ts1_assign_matches_mean_on_agreeing_ensemble():
+    """When all members are IDENTICAL, TS1 assignment and TS∞-mean must give
+    the same candidate returns — so the same plan under the same rng."""
+    import dataclasses
+
+    from cadm_tpu.models.dynamics import Dynamics, DynamicsConfig
+    from cadm_tpu.planners.mpc import MPCPlanner, PlannerConfig
+
+    model = Dynamics(DynamicsConfig(obs_dim=OBS, act_dim=ACT, hidden=(16,),
+                                    n_members=3, history_k=2, future_m=1))
+    state = model.init_state(jax.random.key(0))
+    # collapse the ensemble: copy member 0's weights into all members
+    fwd = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[0:1], x.shape), state.params["fwd"]
+    )
+    state = dataclasses.replace(
+        state, params={**state.params, "fwd": fwd}
+    )
+    cfg = PlannerConfig(kind="cem", horizon=5, n_candidates=30, cem_iters=2,
+                        cem_elites=6, ensemble_eval="assign")
+    obs = jax.random.normal(jax.random.key(1), (4, OBS))
+    z = jnp.zeros((4, 0))
+    p_assign = MPCPlanner(cfg, model, reward_fn, ACT)
+    p_mean = MPCPlanner(
+        dataclasses.replace(cfg, ensemble_eval="mean"), model, reward_fn, ACT
+    )
+    a1, _ = p_assign.plan(state, obs, z, jax.random.key(2))
+    a2, _ = p_mean.plan(state, obs, z, jax.random.key(2))
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-5)
