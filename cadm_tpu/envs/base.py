@@ -72,6 +72,18 @@ class Env:
         """Early-termination predicate (False for most families)."""
         return jnp.asarray(False)
 
+    def unstable(self, phys: PyTree) -> Array:
+        """Physics-stability guard: True ends the episode (auto-reset).
+
+        The TPU-native analogue of MuJoCo's BADQACC/autoreset behavior: an
+        exploding or non-finite state terminates the episode instead of
+        streaming garbage into the replay buffer (a single NaN transition
+        NaN-poisons the dynamics fit, after which planner scores go NaN and
+        every env behaves identically — observed on the ant family in the
+        round-2 result matrix before this guard existed).
+        """
+        return jnp.asarray(False)
+
     def action_limits(self) -> Tuple[Array, Array]:
         return (-jnp.ones((self.act_dim,)), jnp.ones((self.act_dim,)))
 
@@ -103,10 +115,15 @@ class Env:
         action = jnp.clip(action, low, high)
         phys = self.step_phys(state.params, state.phys, action)
         obs = self.observe(state.params, phys)
-        reward = self.reward(state.obs, action, obs)
+        # sanitize BEFORE reward/storage: the blown-up step still emits one
+        # finite (clamped) transition, then `unstable` ends the episode
+        obs = jnp.clip(jnp.nan_to_num(obs, nan=0.0), -1e4, 1e4)
+        reward = jnp.nan_to_num(self.reward(state.obs, action, obs), nan=0.0)
         t = state.t + 1
-        done = jnp.logical_or(
-            t >= self.horizon, self.terminated(state.params, phys, obs)
+        done = (
+            (t >= self.horizon)
+            | self.terminated(state.params, phys, obs)
+            | self.unstable(phys)
         )
         stepped = dataclasses.replace(
             state, phys=phys, obs=obs, t=t, done=done

@@ -76,6 +76,15 @@ class RigidEnv(Env):
             act_mask=jnp.ones((self.sys.nu,)),
         )
 
+    # blowup threshold for the stability guard: healthy locomotion speeds
+    # are O(10) rad/s and m/s; contact-solver blowups shoot past 1e3 within
+    # a frame. Episodes whose state crosses this end early (Env.unstable).
+    QVEL_BLOWUP = 1e3
+
+    def unstable(self, phys: RigidPhys) -> Array:
+        finite = jnp.isfinite(phys.qpos).all() & jnp.isfinite(phys.qvel).all()
+        return (~finite) | (jnp.abs(phys.qvel).max() > self.QVEL_BLOWUP)
+
     # ---- stepping ---------------------------------------------------------
     def step_phys(self, params: PyTree, phys: RigidPhys, action: Array) -> RigidPhys:
         qpos, qvel = rdyn.step_n(

@@ -8,11 +8,15 @@ axes/anchors, body angular/linear velocities and the zero-q̈ bias
 accelerations — runs in ONE kernel per env block, all intermediates in
 vector registers / VMEM.
 
-Layout: env axis on lanes (BLOCK_E envs per grid program). Every 3-vector / quaternion is a
-python TUPLE of (E,) lane-vectors — no stacking, no reshapes inside the
-kernel; every system constant is an immediate. The unroll is generated from
-the static System at trace time, so each System gets its own specialized
-kernel (cached by the dispatcher in physics/rigid/dynamics.py).
+Layout: env axis split over SUBLANES × LANES (BLOCK_E envs per grid program,
+held as (8, BLOCK_E/8) tiles). Every 3-vector / quaternion is a python TUPLE
+of (8, E/8)-shaped values — no stacking, no reshapes inside the kernel;
+every system constant is an immediate. A flat (E,) layout would put the env
+axis on lanes only (TPU rank-1 arrays occupy a single sublane), capping the
+VPU at 1/8 utilization for every one of the ~10^4 unrolled ops; the 2-D env
+split keeps each value a whole number of FULL (8,128) vregs. The unroll is
+generated from the static System at trace time, so each System gets its own
+specialized kernel (cached by the dispatcher in physics/rigid/dynamics.py).
 
 Outputs feed the XLA-side einsums (mass matrix, bias projection, contacts):
   pos, com, omega, v_com, alpha0, a_com0 : (nb, 3, E)
@@ -254,42 +258,48 @@ def _fk_kernel(sys: System, qpos_ref, qvel_ref, pos_o, quat_o, com_o,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("sys", "interpret"))
-def fk_vel_pallas(sys: System, qpos, qvel, interpret: bool = False):
+def _env_split(x_t, ep):
+    """(rows, E) → (rows, 8, E/8): env axis over sublanes × lanes."""
+    return x_t.reshape(x_t.shape[0], 8, ep // 8)
+
+
+@functools.partial(jax.jit, static_argnames=("sys", "interpret", "block"))
+def fk_vel_pallas(
+    sys: System, qpos, qvel, interpret: bool = False, block: int = BLOCK_E
+):
     """Batched fused FK: qpos (E,nq), qvel (E,nv) → dict of (E,·,3/4) arrays."""
     e = qpos.shape[0]
-    pad = (-e) % BLOCK_E
+    pad = (-e) % block
     if pad:
         filler = jnp.tile(jnp.asarray(sys.default_qpos())[None], (pad, 1))
         qpos = jnp.concatenate([qpos, filler.astype(qpos.dtype)], axis=0)
         qvel = jnp.pad(qvel, ((0, pad), (0, 0)))
     ep = qpos.shape[0]
-    qpos_t = qpos.T  # (nq, E)
-    qvel_t = qvel.T
+    lb = block // 8  # lane extent per grid program
 
     layout, total_rows = _row_layout(sys)
-    grid = (ep // BLOCK_E,)
+    grid = (ep // block,)
 
     merged = pl.pallas_call(
         functools.partial(_fk_kernel_merged, sys),
-        out_shape=jax.ShapeDtypeStruct((total_rows, ep), qpos.dtype),
+        out_shape=jax.ShapeDtypeStruct((total_rows, 8, ep // 8), qpos.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (sys.nq, BLOCK_E), lambda i: (0, i), memory_space=pltpu.VMEM
+                (sys.nq, 8, lb), lambda i: (0, 0, i), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (sys.nv, BLOCK_E), lambda i: (0, i), memory_space=pltpu.VMEM
+                (sys.nv, 8, lb), lambda i: (0, 0, i), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (total_rows, BLOCK_E), lambda i: (0, i), memory_space=pltpu.VMEM
+            (total_rows, 8, lb), lambda i: (0, 0, i), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-    )(qpos_t, qvel_t)
+    )(_env_split(qpos.T, ep), _env_split(qvel.T, ep))
 
     # ONE transpose back to env-major, then static slicing per field
-    flat = merged.T[:e]  # (E, total_rows)
+    flat = merged.reshape(total_rows, ep).T[:e]  # (E, total_rows)
     return {
         name: flat[:, off: off + rows * comps].reshape(e, rows, comps)
         for name, (off, rows, comps) in layout.items()
@@ -530,6 +540,7 @@ def full_dyn_pallas(
     qpos (E,nq), qvel (E,nv), ctrl (E,nu), mass/damping scales (E,),
     act_mask (E,nu) → dict of FK fields + minv (E,nv,nv) + v_pred (E,nv).
     """
+    assert block % 8 == 0, "env block must cover whole (8, lanes) tiles"
     e = qpos.shape[0]
     pad = (-e) % block
     if pad:
@@ -541,6 +552,7 @@ def full_dyn_pallas(
         damping_scale = jnp.pad(damping_scale, ((0, pad),), constant_values=1.0)
         act_mask = jnp.pad(act_mask, ((0, pad), (0, 0)))
     ep = qpos.shape[0]
+    lb = block // 8
     par = jnp.concatenate(
         [mass_scale[:, None], damping_scale[:, None], act_mask], axis=1
     ).T  # (2+nu, E)
@@ -549,29 +561,34 @@ def full_dyn_pallas(
     grid = (ep // block,)
     merged = pl.pallas_call(
         functools.partial(_full_dyn_kernel, sys),
-        out_shape=jax.ShapeDtypeStruct((total_rows, ep), qpos.dtype),
+        out_shape=jax.ShapeDtypeStruct((total_rows, 8, ep // 8), qpos.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (sys.nq, block), lambda i: (0, i), memory_space=pltpu.VMEM
+                (sys.nq, 8, lb), lambda i: (0, 0, i), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (sys.nv, block), lambda i: (0, i), memory_space=pltpu.VMEM
+                (sys.nv, 8, lb), lambda i: (0, 0, i), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (sys.nu, block), lambda i: (0, i), memory_space=pltpu.VMEM
+                (sys.nu, 8, lb), lambda i: (0, 0, i), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (2 + sys.nu, block), lambda i: (0, i), memory_space=pltpu.VMEM
+                (2 + sys.nu, 8, lb),
+                lambda i: (0, 0, i),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (total_rows, block), lambda i: (0, i), memory_space=pltpu.VMEM
+            (total_rows, 8, lb), lambda i: (0, 0, i), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-    )(qpos.T, qvel.T, ctrl.T, par)
+    )(
+        _env_split(qpos.T, ep), _env_split(qvel.T, ep),
+        _env_split(ctrl.T, ep), _env_split(par, ep),
+    )
 
-    flat = merged.T[:e]
+    flat = merged.reshape(total_rows, ep).T[:e]
     return {
         name: flat[:, off: off + rows * comps].reshape(e, rows, comps)
         for name, (off, rows, comps) in layout.items()

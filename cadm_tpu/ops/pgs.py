@@ -41,13 +41,15 @@ def _block_for(nc: int) -> int:
     return block
 
 
-def _pgs_kernel(nc: int, iters: int, A_ref, b_ref, vstar_ref, actmu_ref, lam_ref):
+def _pgs_kernel(
+    nc: int, iters: int, A_ref, b_ref, vstar_ref, actmu_ref, lam0_ref, lam_ref
+):
     A = A_ref[:]          # (3nc, 3nc, E)
     b = b_ref[:]          # (3nc, E)
     vstar = vstar_ref[:]  # (nc, E)
     actmu = actmu_ref[:]  # (nc, E)
 
-    lam_ref[:] = jnp.zeros_like(b)
+    lam_ref[:] = lam0_ref[:]  # warm start (zeros on a cold solve)
 
     def body(_, carry):
         for i in range(nc):
@@ -79,17 +81,21 @@ def pgs_solve(
     b: Array,
     vstar: Array,
     actmu: Array,
-    nc: int,
-    iters: int,
+    lam0: Array = None,
+    nc: int = 0,
+    iters: int = 0,
     interpret: bool = False,
     block: int = 0,
 ) -> Array:
     """Batched PGS: A (E,3nc,3nc), b (E,3nc), vstar/actmu (E,nc) → λ (E,3nc).
 
-    ``block``: env-block override (0 = auto via the VMEM budget). Interpret-
-    mode tests pass a tiny block so the padded batch stays small.
+    ``lam0`` (E,3nc) warm-starts the sweeps (None = cold/zeros). ``block``:
+    env-block override (0 = auto via the VMEM budget). Interpret-mode tests
+    pass a tiny block so the padded batch stays small.
     """
     e = A.shape[0]
+    if lam0 is None:
+        lam0 = jnp.zeros_like(b)
     block = block or _block_for(nc)
     pad = (-e) % block
     if pad:
@@ -99,6 +105,7 @@ def pgs_solve(
         b = jnp.pad(b, ((0, pad), (0, 0)))
         vstar = jnp.pad(vstar, ((0, pad), (0, 0)))
         actmu = jnp.pad(actmu, ((0, pad), (0, 0)))
+        lam0 = jnp.pad(lam0, ((0, pad), (0, 0)))
     ep = A.shape[0]
 
     # env axis → lanes (minor-most)
@@ -106,9 +113,13 @@ def pgs_solve(
     b_t = jnp.transpose(b, (1, 0))
     vstar_t = jnp.transpose(vstar, (1, 0))
     actmu_t = jnp.transpose(actmu, (1, 0))
+    lam0_t = jnp.transpose(lam0, (1, 0))
 
     grid = (ep // block,)
     kernel = functools.partial(_pgs_kernel, nc, iters)
+    row_spec = pl.BlockSpec(
+        (3 * nc, block), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
     lam_t = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((3 * nc, ep), A.dtype),
@@ -119,19 +130,16 @@ def pgs_solve(
                 lambda i: (0, 0, i),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (3 * nc, block), lambda i: (0, i), memory_space=pltpu.VMEM
-            ),
+            row_spec,
             pl.BlockSpec(
                 (nc, block), lambda i: (0, i), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (nc, block), lambda i: (0, i), memory_space=pltpu.VMEM
             ),
+            row_spec,
         ],
-        out_specs=pl.BlockSpec(
-            (3 * nc, block), lambda i: (0, i), memory_space=pltpu.VMEM
-        ),
+        out_specs=row_spec,
         interpret=interpret,
-    )(A_t, b_t, vstar_t, actmu_t)
+    )(A_t, b_t, vstar_t, actmu_t, lam0_t)
     return jnp.transpose(lam_t, (1, 0))[:e]

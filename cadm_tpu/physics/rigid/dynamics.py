@@ -22,7 +22,7 @@ and a per-actuator mask (CrippledAnt's zeroed leg, SURVEY.md §2.1).
 """
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -233,14 +233,21 @@ def contact_solve(
     Minv: Array,
     v_pred: Array,
     dt: float,
-) -> Array:
+    lam0: Optional[Array] = None,
+    iters: Optional[int] = None,
+) -> Tuple[Array, Array]:
     """Velocity-level PGS impulse solve against the ground plane z=0.
 
-    Returns the post-contact qvel. Static contact count; inactive contacts
-    (separation > 0) are clamped to zero normal impulse, so no data-dependent
-    shapes leak into the jit trace. ``Minv`` is the explicit inverse of the
-    (damping-augmented) mass matrix, so the Delassus operator and the impulse
-    back-substitution are plain batched matmuls (MXU work).
+    Returns (post-contact qvel, impulses λ). Static contact count; inactive
+    contacts (separation > 0) are clamped to zero normal impulse, so no
+    data-dependent shapes leak into the jit trace. ``Minv`` is the explicit
+    inverse of the (damping-augmented) mass matrix, so the Delassus operator
+    and the impulse back-substitution are plain batched matmuls (MXU work).
+
+    ``lam0``: warm-start impulses (3nc,), e.g. the previous substep's λ —
+    contacts persist across the frame_skip substeps, so warm-started sweeps
+    converge in a fraction of the cold iteration count (the PGS solve is
+    ~80% of the humanoid substep; see PARITY.md).
 
     Solver shape: Gauss–Seidel sweeps (lax.fori_loop) over a STATICALLY
     unrolled contact list — all index arithmetic is compile-time, no dynamic
@@ -249,7 +256,7 @@ def contact_solve(
     c_body, c_off, c_rad, c_mu = _contact_points(sys)
     nc = len(c_body)
     if nc == 0:
-        return v_pred
+        return v_pred, jnp.zeros((0,))
 
     p_world = fk.body_pos[c_body] + jnp.einsum(
         "cij,cj->ci", fk.body_rot[c_body], jnp.asarray(c_off)
@@ -269,27 +276,32 @@ def contact_solve(
     v_star = -sys.contact_stiffness / dt * jnp.minimum(phi, 0.0)
     active_mu = (phi < 0.0).astype(jnp.float32) * jnp.asarray(c_mu)
 
-    lam = _pgs_dispatch(sys)(A, b, v_star, active_mu)
-    return v_pred + MinvJt @ lam
+    if lam0 is None:
+        lam0 = jnp.zeros((3 * nc,))
+    # a warm-started impulse is only valid while its contact is active
+    lam0 = lam0 * jnp.repeat(active_mu > 0.0, 3)
+    lam = _pgs_dispatch(sys, iters)(A, b, v_star, active_mu, lam0)
+    return v_pred + MinvJt @ lam, lam
 
 
 @lru_cache(maxsize=None)
-def _pgs_dispatch(sys: System):
+def _pgs_dispatch(sys: System, iters: Optional[int] = None):
     """PGS solve that is a Pallas kernel under vmap, XLA loop otherwise.
 
     ``contact_solve`` is written per-env; the collect loop vmaps it over
     thousands of envs. jax.custom_batching swaps the vmapped path for the
     VMEM-resident Pallas kernel (ops/pgs.py) — the unbatched fallback keeps
-    single-env debugging and CPU use simple.
+    single-env debugging and CPU use simple. ``iters`` overrides the sweep
+    count (warm-started substeps use sys.solver_iters_warm).
     """
     nc = len(_contact_points(sys)[0])
-    iters = sys.solver_iters
+    iters = sys.solver_iters if iters is None else iters
 
     @jax.custom_batching.custom_vmap
-    def solve(A, b, v_star, active_mu):
-        return solve_xla(A, b, v_star, active_mu)
+    def solve(A, b, v_star, active_mu, lam0):
+        return solve_xla(A, b, v_star, active_mu, lam0)
 
-    def solve_xla(A, b, v_star, active_mu):
+    def solve_xla(A, b, v_star, active_mu, lam0):
         # plain-XLA version (used per-env, and batched on non-TPU backends
         # where Pallas would fall back to the slow interpreter)
         Adiag = jnp.diagonal(A)
@@ -310,21 +322,22 @@ def _pgs_dispatch(sys: System):
                 lam = lam.at[ix].set(lx * scale).at[iy].set(ly * scale)
             return lam
 
-        return jax.lax.fori_loop(0, iters, sweep, jnp.zeros((3 * nc,)))
+        return jax.lax.fori_loop(0, iters, sweep, lam0)
 
-    def kernel_branch(A, b, v_star, active_mu):
+    def kernel_branch(A, b, v_star, active_mu, lam0):
         from cadm_tpu.ops.pgs import pgs_solve
 
-        return pgs_solve(A, b, v_star, active_mu, nc=nc, iters=iters)
+        return pgs_solve(A, b, v_star, active_mu, lam0, nc=nc, iters=iters)
 
-    def xla_branch(A, b, v_star, active_mu):
-        return jax.vmap(solve_xla)(A, b, v_star, active_mu)
+    def xla_branch(A, b, v_star, active_mu, lam0):
+        return jax.vmap(solve_xla)(A, b, v_star, active_mu, lam0)
 
     @solve.def_vmap
-    def _solve_vmap(axis_size, in_batched, A, b, v_star, active_mu):
+    def _solve_vmap(axis_size, in_batched, A, b, v_star, active_mu, lam0):
         # per-platform lowering: Pallas kernel on TPU, plain XLA elsewhere
         lam = jax.lax.platform_dependent(
-            A, b, v_star, active_mu, tpu=kernel_branch, default=xla_branch
+            A, b, v_star, active_mu, lam0,
+            tpu=kernel_branch, default=xla_branch,
         )
         return lam, True
 
@@ -482,8 +495,15 @@ def step(
     qpos: Array,
     qvel: Array,
     ctrl: Array,
-) -> Tuple[Array, Array]:
-    """One physics substep (semi-implicit Euler, like MuJoCo's Euler)."""
+    lam0: Optional[Array] = None,
+    warm: bool = False,
+) -> Tuple[Array, Array, Array]:
+    """One physics substep (semi-implicit Euler, like MuJoCo's Euler).
+
+    Returns (qpos, qvel, λ). ``lam0`` warm-starts the contact solve (pass
+    the previous substep's λ — see ``step_n``); ``warm=True`` additionally
+    runs the reduced sys.solver_iters_warm sweep count.
+    """
     # smooth stage (FK, mass matrix, bias, actuation/passive, implicit
     # damping, SPD inverse, v_pred) — one fused Pallas kernel on the TPU
     # batched path, composed pure-JAX otherwise (see _smooth_dispatch)
@@ -491,9 +511,12 @@ def step(
         qpos, qvel, ctrl,
         params.mass_scale, params.damping_scale, params.act_mask,
     )
-    v_post = contact_solve(sys, fk, Minv, v_pred, sys.dt)
+    v_post, lam = contact_solve(
+        sys, fk, Minv, v_pred, sys.dt, lam0,
+        iters=sys.solver_iters_warm if warm else None,
+    )
     qpos_new = integrate_qpos(sys, qpos, v_post, sys.dt)
-    return qpos_new, v_post
+    return qpos_new, v_post, lam
 
 
 def step_n(
@@ -504,12 +527,22 @@ def step_n(
     ctrl: Array,
     n: int,
 ) -> Tuple[Array, Array]:
-    """``n`` substeps under one control (the env frame_skip inner scan)."""
+    """``n`` substeps under one control (the env frame_skip inner scan).
+
+    The first substep solves contacts cold at the full sweep count; the
+    remaining substeps warm-start from the previous λ (persistent-contact
+    assumption over the ~1 ms substep) and run sys.solver_iters_warm sweeps
+    — the PGS solve is ~80% of a contact-rich substep, so this roughly
+    halves the frame cost at equal golden-test accuracy.
+    """
+    qpos, qvel, lam = step(sys, params, qpos, qvel, ctrl)
 
     def body(carry, _):
-        qp, qv = carry
-        qp, qv = step(sys, params, qp, qv, ctrl)
-        return (qp, qv), None
+        qp, qv, lam = carry
+        qp, qv, lam = step(sys, params, qp, qv, ctrl, lam, warm=True)
+        return (qp, qv, lam), None
 
-    (qpos, qvel), _ = jax.lax.scan(body, (qpos, qvel), None, length=n)
+    (qpos, qvel, _), _ = jax.lax.scan(
+        body, (qpos, qvel, lam), None, length=n - 1
+    )
     return qpos, qvel

@@ -75,6 +75,11 @@ class System:
     contact_stiffness: float = 0.2    # Baumgarte push-out factor (per step)
     contact_damping: float = 0.0
     solver_iters: int = 15
+    # sweep count when the solve is warm-started from the previous substep's
+    # impulses (persistent contacts over a ~1 ms substep): a handful of
+    # sweeps reaches the same residual the cold solve needs solver_iters
+    # for. The contact-phase golden tests vs MuJoCo gate this choice.
+    solver_iters_warm: int = 6
     limit_stiffness: float = 400.0    # joint-limit penalty spring
     limit_damping: float = 10.0
 

@@ -48,6 +48,14 @@ class PlannerConfig:
     #   'mean' — TS∞-mean: every candidate under EVERY member, scored by the
     #     mean return (rows = candidates × members; 5x the compute).
     ensemble_eval: str = "assign"
+    # Sample from the probabilistic heads during planning rollouts (stochastic
+    # PETS trajectory sampling)? Default False: each member propagates its
+    # Gaussian MEAN — member diversity still spreads hypotheses, but CEM
+    # elites are not ranked on per-rollout sampling noise (one stochastic
+    # particle per candidate over a 30-step horizon made elite selection
+    # nearly random: cheetah PE-TS returns collapsed 3400 → 30 before this
+    # defaulted to False).
+    sample_predictions: bool = False
     # Cap on env×candidate rollout rows evaluated in one parallel block.
     # The current libtpu faults ("TPU worker process crashed") when a single
     # planner program exceeds 2^16 env×candidate rows (empirically: 256×256
@@ -97,6 +105,8 @@ class MPCPlanner:
             obs = jnp.broadcast_to(obs0, (n, c, obs0.shape[-1]))
             z_b = jnp.broadcast_to(z, (n, c, z.shape[-1]))
 
+        sample = self.cfg.sample_predictions
+
         def step(carry, a_t):
             # a_t: (n, cm, act) in assign mode, (C, act) in mean mode
             obs, rng = carry
@@ -108,7 +118,8 @@ class MPCPlanner:
                 a_b = jnp.broadcast_to(a_t, (n, c, a_t.shape[-1]))
             next_obs = jax.vmap(
                 lambda fwd_m, o, a_m, zz, kk: self.model.predict(
-                    params, norm, fwd_m, o, a_m, zz, kk
+                    params, norm, fwd_m, o, a_m, zz,
+                    kk if sample else None,
                 )
             )(params["fwd"], obs, a_b, z_b, keys)
             r = self.reward_fn(obs, a_b, next_obs)  # (n, cm|C)

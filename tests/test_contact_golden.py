@@ -58,7 +58,7 @@ def _run_both(m, sys_, d, step1, qp0, zi, steps, ctrl_fn):
         u = ctrl_fn(t, m.nu)
         d.ctrl[:] = u
         mujoco.mj_step(m, d)
-        qp, qv = step1(qp, qv, jnp.asarray(u))
+        qp, qv, _ = step1(qp, qv, jnp.asarray(u))
         div.append(float(np.abs(np.asarray(qp) - d.qpos).max()))
         z_mj.append(float(d.qpos[zi]))
         z_jx.append(float(qp[zi]))
@@ -106,3 +106,33 @@ def test_actuated_contact_rollout_bounded_divergence(name, budget):
     # the root-height traces stay correlated through contact
     c = np.corrcoef(z_mj, z_jx)[0, 1]
     assert c > 0.9, f"root-height correlation {c:.3f}"
+
+
+@pytest.mark.parametrize("name", ["half_cheetah", "slim_humanoid"])
+def test_warm_start_reduced_sweeps_matches_cold_path(name):
+    """The production frame path (step_n: cold first substep, then
+    warm-started solver_iters_warm sweeps) must track the all-cold
+    full-iteration path through drop + settle within a tight budget —
+    the physics-accuracy gate for the warm-start optimization."""
+    m, sys_, d, step1, qp0, zi = _drop_setup(name)
+    params = dyn.RigidParams.default(sys_)
+    n = 5
+    stepn = jax.jit(lambda qp, qv, u: dyn.step_n(sys_, params, qp, qv, u, n))
+
+    def cold5(qp, qv, u):
+        for _ in range(n):
+            qp, qv, _ = step1(qp, qv, u)
+        return qp, qv
+
+    qp_w = qp_c = qp0
+    qv_w = qv_c = jnp.zeros(sys_.nv)
+    u = jnp.zeros(sys_.nu)
+    div = []
+    for t in range(120):  # 600 substeps: fall, impact, settle
+        qp_w, qv_w = stepn(qp_w, qv_w, u)
+        qp_c, qv_c = cold5(qp_c, qv_c, u)
+        div.append(float(jnp.abs(qp_w - qp_c).max()))
+    assert div[-1] < 0.05, f"{name} warm-vs-cold divergence {div[-1]:.4f}"
+    # same rest height and a settled (non-jittering) state on both paths
+    assert abs(float(qp_w[zi]) - float(qp_c[zi])) < 0.02
+    assert float(jnp.abs(qv_w).max()) < 0.3

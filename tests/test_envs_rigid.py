@@ -94,3 +94,38 @@ def test_vmapped_heterogeneous_cheetah(envs):
     assert rewards.shape == (10, n)
     assert bool(jnp.isfinite(rewards).all())
     assert bool(jnp.isfinite(final.obs).all())
+
+
+def test_unstable_state_terminates_and_sanitizes():
+    """Physics blowups end the episode (MuJoCo BADQACC-style auto-reset)
+    and never emit non-finite observations (NaN-poisoned buffers made the
+    dynamics fit NaN across the whole ant matrix row before this guard)."""
+    import dataclasses
+
+    from cadm_tpu.envs.ant import AntEnv
+
+    env = AntEnv()
+    state = env.reset(jax.random.key(0))
+    # blow up the velocity state directly
+    bad_phys = dataclasses.replace(
+        state.phys, qvel=state.phys.qvel.at[0].set(1e6)
+    )
+    state = dataclasses.replace(state, phys=bad_phys)
+    step = jax.jit(env.step)
+    next_state, obs, reward, done = step(state, jnp.zeros((env.act_dim,)))
+    assert bool(done)
+    assert bool(jnp.isfinite(obs).all())
+    assert bool(jnp.isfinite(reward))
+    # auto-reset produced a fresh, healthy episode
+    assert int(next_state.t) == 0
+    assert bool(jnp.isfinite(next_state.obs).all())
+    assert bool(jnp.abs(next_state.phys.qvel).max() < 1e2)
+
+    # NaN states are likewise caught
+    nan_phys = dataclasses.replace(
+        state.phys, qpos=state.phys.qpos.at[2].set(jnp.nan)
+    )
+    state2 = dataclasses.replace(state, phys=nan_phys)
+    _, obs2, _, done2 = step(state2, jnp.zeros((env.act_dim,)))
+    assert bool(done2)
+    assert bool(jnp.isfinite(obs2).all())

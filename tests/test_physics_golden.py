@@ -106,7 +106,7 @@ def test_inair_trajectory_matches_mujoco(name):
     for t in range(40):
         d.ctrl[:] = ctrl[t]
         mujoco.mj_step(m, d)
-        qp, qv = step1(qp, qv, jnp.asarray(ctrl[t]))
+        qp, qv, _ = step1(qp, qv, jnp.asarray(ctrl[t]))
     assert np.abs(np.asarray(qp) - d.qpos).max() < 5e-3
 
 
