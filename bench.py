@@ -44,10 +44,10 @@ def _time(fn, *args, iters=3):
     return (time.perf_counter() - t0) / iters
 
 
-def bench_env_steps(n_envs: int, t: int) -> float:
+def bench_env_steps(n_envs: int, t: int, env_name: str = "half_cheetah") -> float:
     from cadm_tpu.envs import make
 
-    env = make("half_cheetah")
+    env = make(env_name)
     states = jax.vmap(env.reset)(jax.random.split(jax.random.key(0), n_envs))
 
     @jax.jit
@@ -152,11 +152,22 @@ def main():
         batch, updates = 256, 50
 
     steps_per_sec = bench_env_steps(n_envs, t)
+    # secondary: 23-DOF SlimHumanoid with 29 contact points — the
+    # contact-solver stress case (VERDICT r1 item 7 asks this be recorded).
+    # Skipped off-TPU: the XLA *CPU* compile of the 23-DOF rigid scan alone
+    # takes minutes, which would break the CPU-safe --smoke contract.
+    on_tpu = jax.devices()[0].platform != "cpu"
+    humanoid_steps = (
+        bench_env_steps(max(n_envs // 2, 8), t, "slim_humanoid")
+        if on_tpu
+        else 0.0
+    )
     cem_per_sec = bench_cem(cem_envs, cands, horizon)
     train_per_sec = bench_train_steps(batch, updates)
 
     print(
         f"[bench] env_steps/sec={steps_per_sec:,.0f}  "
+        f"humanoid_steps/sec={humanoid_steps:,.0f}  "
         f"cem_rollouts/sec={cem_per_sec:,.0f}  "
         f"model_train_steps/sec={train_per_sec:,.1f}  "
         f"(n_envs={n_envs}, device={jax.devices()[0].platform})",
@@ -176,6 +187,7 @@ def main():
                 "secondary": {
                     "cem_model_rollouts_per_sec": round(cem_per_sec),
                     "dynamics_train_steps_per_sec": round(train_per_sec, 1),
+                    "slim_humanoid_env_steps_per_sec": round(humanoid_steps),
                     "target": "1e6 env steps/s on v5e-8 = 125k/chip",
                 },
             }
