@@ -49,6 +49,10 @@ class ExperimentConfig:
     cem_iters: int = 5
     cem_elites: int = 20
     warm_start: bool = False
+    # env×candidate(×member) rollout rows per parallel planner block — the
+    # libtpu fault threshold is shape-dependent (cheetah runs at 65536 rows,
+    # slim_humanoid faults at 65520), so wide-obs families lower this
+    max_parallel_rollouts: int = 65536
     # training loop
     n_itr: int = 20
     steps_per_itr: int = 200
@@ -111,6 +115,7 @@ class ExperimentConfig:
                 cem_iters=self.cem_iters,
                 cem_elites=self.cem_elites,
                 warm_start=self.warm_start,
+                max_parallel_rollouts=self.max_parallel_rollouts,
             ),
             model,
             env.reward,
@@ -214,6 +219,7 @@ class ExperimentConfig:
                 cem_iters=self.cem_iters,
                 cem_elites=self.cem_elites,
                 warm_start=self.warm_start,
+                max_parallel_rollouts=self.max_parallel_rollouts,
             ),
             model,
             env.reward,

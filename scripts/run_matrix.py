@@ -61,7 +61,7 @@ FAMILY_BASE = {
         env="slim_humanoid", planner="cem", n_candidates=256, plan_horizon=30,
         n_envs=256, steps_per_itr=500, n_itr=12, buffer_capacity=6000,
         batch_size=256, eval_envs=32, warm_start=True, fit_protocol="epochs",
-        eval_every=3,
+        eval_every=3, max_parallel_rollouts=32768,
     ),
     "hopper": dict(
         env="hopper", planner="cem", n_candidates=256, plan_horizon=30,
