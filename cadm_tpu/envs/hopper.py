@@ -41,8 +41,27 @@ class HopperEnv(RigidEnv):
         )
 
     def reward(self, obs: Array, act: Array, next_obs: Array) -> Array:
+        """vx + healthy-gated alive bonus − ctrl cost, obs-only.
+
+        The alive bonus applies only while the state is healthy (same
+        predicate as termination, computable from observations): the planner
+        scores MODEL-predicted futures with this function and has no notion
+        of episode termination, so an ungated bonus pays +1/step even after
+        a predicted crash — CEM then happily dives forward and real episodes
+        end in ~20 steps. Gating makes predicted falls unprofitable (the
+        standard MBRL done-penalty, expressed as bonus withdrawal to keep
+        the gym reward scale). For real steps this only changes the single
+        terminal step's reward (the episode ends at the first unhealthy
+        state anyway).
+        """
         vx = next_obs[..., self._vx_index]
-        return vx + self.alive_bonus - self.ctrl_cost * jnp.sum(act**2, axis=-1)
+        z, pitch = next_obs[..., 0], next_obs[..., 1]
+        healthy = ((z > 0.7) & (jnp.abs(pitch) < 0.2)).astype(vx.dtype)
+        return (
+            vx
+            + self.alive_bonus * healthy
+            - self.ctrl_cost * jnp.sum(act**2, axis=-1)
+        )
 
     def terminated(self, params: PyTree, phys: RigidPhys, obs: Array) -> Array:
         if not self.terminate_unhealthy:

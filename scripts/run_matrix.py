@@ -83,6 +83,12 @@ MODEL_VARIANTS = {
     "vanilla": dict(model="vanilla", ensemble=1),
     "cadm": dict(model="cadm", ensemble=1),
     "pets_cadm": dict(model="cadm", ensemble=5),
+    # baseline rows (paper Fig.3-5 comparisons); run on selected families:
+    #   python scripts/run_matrix.py --families half_cheetah hopper \
+    #          --models grbal rebal stacked --seeds 0
+    "stacked": dict(model="stacked", ensemble=1),
+    "rebal": dict(model="rnn", ensemble=1),
+    "grbal": dict(model="grbal", ensemble=1),
 }
 
 DEFAULT_FAMILIES = [
@@ -121,7 +127,11 @@ def run_cell(family: str, model: str, seed: int) -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--families", nargs="*", default=DEFAULT_FAMILIES)
-    ap.add_argument("--models", nargs="*", default=list(MODEL_VARIANTS))
+    # default = the paper's primary comparison; baseline rows (stacked/
+    # rebal/grbal) are opt-in via --models
+    ap.add_argument(
+        "--models", nargs="*", default=["vanilla", "cadm", "pets_cadm"]
+    )
     ap.add_argument("--seeds", nargs="*", type=int, default=[0, 1])
     ap.add_argument("--list", action="store_true")
     args = ap.parse_args()

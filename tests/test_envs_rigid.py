@@ -129,3 +129,22 @@ def test_unstable_state_terminates_and_sanitizes():
     _, obs2, _, done2 = step(state2, jnp.zeros((env.act_dim,)))
     assert bool(done2)
     assert bool(jnp.isfinite(obs2).all())
+
+
+def test_hopper_alive_bonus_gated_on_health():
+    """The planner scores model rollouts with env.reward and cannot see
+    termination, so the alive bonus must vanish on unhealthy states
+    (otherwise CEM pays +1/step after a predicted crash and real hopper
+    episodes end in ~20 steps — observed in the round-2 result matrix)."""
+    from cadm_tpu.envs.hopper import HopperEnv
+
+    env = HopperEnv()
+    act = jnp.zeros((env.act_dim,))
+    healthy = jnp.zeros((env.obs_dim,)).at[0].set(1.2)   # z=1.2, pitch=0
+    fallen = jnp.zeros((env.obs_dim,)).at[0].set(0.4)    # z=0.4
+    tipped = jnp.zeros((env.obs_dim,)).at[0].set(1.2).at[1].set(0.5)
+    r_h = float(env.reward(healthy, act, healthy))
+    r_f = float(env.reward(healthy, act, fallen))
+    r_t = float(env.reward(healthy, act, tipped))
+    assert abs(r_h - env.alive_bonus) < 1e-6
+    assert abs(r_f) < 1e-6 and abs(r_t) < 1e-6
