@@ -47,13 +47,16 @@ FAMILY_BASE = {
     ),
     "half_cheetah": dict(
         env="half_cheetah", planner="cem", n_candidates=256, plan_horizon=30,
-        n_envs=256, steps_per_itr=500, n_itr=12, buffer_capacity=6000,
+        n_envs=256, steps_per_itr=500, n_itr=16, buffer_capacity=6000,
         batch_size=256, eval_envs=32, warm_start=True, fit_protocol="epochs",
         eval_every=3,
     ),
+    # the context families need more encoder training than the others:
+    # at 12 itrs CaDM still trailed vanilla (round-1 cheetah CaDM reached
+    # 6574 with ~2x the data)
     "cripple_ant": dict(
         env="cripple_ant", planner="cem", n_candidates=256, plan_horizon=30,
-        n_envs=256, steps_per_itr=500, n_itr=12, buffer_capacity=6000,
+        n_envs=256, steps_per_itr=500, n_itr=18, buffer_capacity=6000,
         batch_size=256, eval_envs=32, warm_start=True, fit_protocol="epochs",
         eval_every=3,
     ),
