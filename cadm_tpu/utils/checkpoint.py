@@ -14,6 +14,29 @@ from __future__ import annotations
 import os
 from typing import Any, Optional
 
+import jax
+import jax.numpy as jnp
+
+
+def _pack_zero_size(tree: Any) -> Any:
+    """Replace zero-size leaves with 1-element placeholders.
+
+    Orbax refuses to serialize zero-size arrays, but the training pytree
+    legitimately contains them (e.g. ``History.rnn_h`` is zero-width for
+    non-recurrent models). The placeholder carries the dtype; the original
+    shape is recovered from the restore template in ``_unpack_zero_size``.
+    """
+    return jax.tree.map(
+        lambda x: jnp.zeros((1,), x.dtype) if x.size == 0 else x, tree
+    )
+
+
+def _unpack_zero_size(tree: Any, template: Any) -> Any:
+    return jax.tree.map(
+        lambda x, t: jnp.zeros(t.shape, t.dtype) if t.size == 0 else x,
+        tree, template,
+    )
+
 
 class Checkpointer:
     def __init__(self, directory: str, keep: int = 3, save_buffer: bool = True):
@@ -41,7 +64,7 @@ class Checkpointer:
         if buffer is not None and self.save_buffer:
             payload["buffer"] = buffer
         self.mngr.save(
-            step, args=self._ocp.args.StandardSave(payload)
+            step, args=self._ocp.args.StandardSave(_pack_zero_size(payload))
         )
         if wait:
             self.mngr.wait_until_finished()
@@ -51,9 +74,13 @@ class Checkpointer:
         if step is None:
             return None
         if template is not None:
-            return self.mngr.restore(
-                step, args=self._ocp.args.StandardRestore(template)
+            restored = self.mngr.restore(
+                step,
+                args=self._ocp.args.StandardRestore(
+                    _pack_zero_size(template)
+                ),
             )
+            return _unpack_zero_size(restored, template)
         return self.mngr.restore(step)
 
     @property
