@@ -38,12 +38,15 @@ def test_fused_kernel_runs_per_shard():
 
     from cadm_tpu.parallel.mesh import make_mesh
 
-    sys_ = load_system("half_cheetah.xml")
+    # hopper: the smallest rigid system — the per-shard property is
+    # system-agnostic and the interpret-mode XLA compile of bigger systems
+    # takes minutes on CPU (block=8 likewise caps the padded batch)
+    sys_ = load_system("hopper.xml")
     mesh = make_mesh(dp=4, model=2)
     args = _states(sys_, 8)
 
     def per_shard(*a):
-        d = full_dyn_pallas(sys_, *a, interpret=True)
+        d = full_dyn_pallas(sys_, *a, interpret=True, block=8)
         return d["minv"], d["v_pred"][..., 0]
 
     sharded = shard_map(
@@ -52,7 +55,7 @@ def test_fused_kernel_runs_per_shard():
         check_rep=False,
     )
     minv_s, v_s = jax.jit(sharded)(*args)
-    d_ref = full_dyn_pallas(sys_, *args, interpret=True)
+    d_ref = full_dyn_pallas(sys_, *args, interpret=True, block=8)
     np.testing.assert_allclose(
         np.asarray(minv_s), np.asarray(d_ref["minv"]), atol=1e-5
     )
