@@ -268,6 +268,7 @@ def fk_vel_pallas(
     sys: System, qpos, qvel, interpret: bool = False, block: int = BLOCK_E
 ):
     """Batched fused FK: qpos (E,nq), qvel (E,nv) → dict of (E,·,3/4) arrays."""
+    assert block % 8 == 0, "env block must cover whole (8, lanes) tiles"
     e = qpos.shape[0]
     pad = (-e) % block
     if pad:

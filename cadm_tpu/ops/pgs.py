@@ -82,17 +82,21 @@ def pgs_solve(
     vstar: Array,
     actmu: Array,
     lam0: Array = None,
-    nc: int = 0,
-    iters: int = 0,
+    *,
+    nc: int,
+    iters: int,
     interpret: bool = False,
     block: int = 0,
 ) -> Array:
     """Batched PGS: A (E,3nc,3nc), b (E,3nc), vstar/actmu (E,nc) → λ (E,3nc).
 
-    ``lam0`` (E,3nc) warm-starts the sweeps (None = cold/zeros). ``block``:
-    env-block override (0 = auto via the VMEM budget). Interpret-mode tests
-    pass a tiny block so the padded batch stays small.
+    ``nc``/``iters`` are required keyword-only: a defaulted iters=0 would
+    silently run zero sweeps and return ``lam0`` unchanged. ``lam0`` (E,3nc)
+    warm-starts the sweeps (None = cold/zeros). ``block``: env-block override
+    (0 = auto via the VMEM budget). Interpret-mode tests pass a tiny block so
+    the padded batch stays small.
     """
+    assert nc > 0 and iters > 0, "pgs_solve needs nc > 0 and iters > 0"
     e = A.shape[0]
     if lam0 is None:
         lam0 = jnp.zeros_like(b)

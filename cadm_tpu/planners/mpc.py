@@ -94,9 +94,9 @@ class MPCPlanner:
         if assign:
             # pad candidates up to a member multiple, block-partition
             cm = -(-c // n)                      # candidates per member
-            pad = cm * n - c
-            if pad:
-                actions = jnp.concatenate([actions, actions[:pad]], axis=0)
+            if cm * n != c:
+                # cyclic repeat — robust even when n_members > 2*n_candidates
+                actions = jnp.resize(actions, (cm * n, *actions.shape[1:]))
             acts = actions.reshape(n, cm, *actions.shape[1:])
             obs = jnp.broadcast_to(obs0, (n, cm, obs0.shape[-1]))
             z_b = jnp.broadcast_to(z, (n, cm, z.shape[-1]))

@@ -70,18 +70,27 @@ class Checkpointer:
             self.mngr.wait_until_finished()
 
     def restore(self, step: Optional[int] = None, template: Any = None) -> Any:
+        """Restore the payload at ``step`` (latest if None).
+
+        ``template`` is required: zero-size leaves are saved as shape-(1,)
+        placeholders (see ``_pack_zero_size``) and only the template knows
+        their true shapes — a template-less restore would silently hand back
+        corrupted leaves.
+        """
         step = step if step is not None else self.mngr.latest_step()
         if step is None:
             return None
-        if template is not None:
-            restored = self.mngr.restore(
-                step,
-                args=self._ocp.args.StandardRestore(
-                    _pack_zero_size(template)
-                ),
+        if template is None:
+            raise ValueError(
+                "Checkpointer.restore needs a template pytree (e.g. "
+                "MBTrainer.resume_template()); zero-size leaves are stored "
+                "as placeholders whose shapes only the template recovers."
             )
-            return _unpack_zero_size(restored, template)
-        return self.mngr.restore(step)
+        restored = self.mngr.restore(
+            step,
+            args=self._ocp.args.StandardRestore(_pack_zero_size(template)),
+        )
+        return _unpack_zero_size(restored, template)
 
     @property
     def latest_step(self) -> Optional[int]:
