@@ -72,6 +72,24 @@ class Env:
         """Early-termination predicate (False for most families)."""
         return jnp.asarray(False)
 
+    # Healthy-magnitude bounds for TRAINING data. The stability guard ends a
+    # blown-up episode, but the transition that crosses the threshold (and
+    # its immediate ramp) still lands in the replay buffer with |qvel| in
+    # the hundreds — a handful of such rows inflate the Δobs normalization
+    # std by orders of magnitude, silently flattening the normalized loss
+    # and wrecking the planner's real-space model accuracy (observed as the
+    # cripple_ant itr-5 collapse in round 2). Transitions beyond these
+    # bounds are stored with bad=True and masked out of norm stats, the fit
+    # loss, and encoder history windows. inf = disabled (analytic envs).
+    bad_obs_limit: float = float("inf")
+    bad_dobs_limit: float = float("inf")
+
+    def bad_transition(self, obs: Array, next_obs: Array) -> Array:
+        """True for transitions too large to be healthy training data."""
+        o = jnp.abs(next_obs).max(axis=-1)
+        d = jnp.abs(next_obs - obs).max(axis=-1)
+        return (o > self.bad_obs_limit) | (d > self.bad_dobs_limit)
+
     def unstable(self, phys: PyTree) -> Array:
         """Physics-stability guard: True ends the episode (auto-reset).
 

@@ -81,6 +81,11 @@ class RigidEnv(Env):
     # a frame. Episodes whose state crosses this end early (Env.unstable).
     QVEL_BLOWUP = 1e3
 
+    # healthy rigid-body obs magnitudes are O(10) (qvel in rad/s, m/s);
+    # 10x that is junk — exclude from training (Env.bad_transition)
+    bad_obs_limit = 150.0
+    bad_dobs_limit = 100.0
+
     def unstable(self, phys: RigidPhys) -> Array:
         finite = jnp.isfinite(phys.qpos).all() & jnp.isfinite(phys.qvel).all()
         return (~finite) | (jnp.abs(phys.qvel).max() > self.QVEL_BLOWUP)

@@ -34,6 +34,8 @@ class ReplayBuffer:
     next_obs: Array  # (E, S, obs_dim)
     done: Array      # (E, S) bool
     ep_step: Array   # (E, S) int32 — t within episode at this transition
+    bad: Array       # (E, S) bool — unhealthy magnitude (Env.bad_transition);
+                     # masked out of norm stats, loss weights, and history
     ptr: Array       # () int32 — next physical write column
     size: Array      # () int32 — valid columns (<= S)
 
@@ -45,6 +47,7 @@ class ReplayBuffer:
             next_obs=jnp.zeros((n_envs, capacity, obs_dim)),
             done=jnp.zeros((n_envs, capacity), bool),
             ep_step=jnp.zeros((n_envs, capacity), jnp.int32),
+            bad=jnp.zeros((n_envs, capacity), bool),
             ptr=jnp.zeros((), jnp.int32),
             size=jnp.zeros((), jnp.int32),
         )
@@ -59,10 +62,13 @@ class ReplayBuffer:
 
     # ----------------------------------------------------------- append --
     def append(
-        self, obs: Array, act: Array, next_obs: Array, done: Array, ep_step: Array
+        self, obs: Array, act: Array, next_obs: Array, done: Array,
+        ep_step: Array, bad: Array | None = None,
     ) -> "ReplayBuffer":
         """Write one time-slice across all envs (called inside the collect scan)."""
         p = self.ptr
+        if bad is None:
+            bad = jnp.zeros_like(done)
         return dataclasses.replace(
             self,
             obs=self.obs.at[:, p].set(obs),
@@ -70,20 +76,24 @@ class ReplayBuffer:
             next_obs=self.next_obs.at[:, p].set(next_obs),
             done=self.done.at[:, p].set(done),
             ep_step=self.ep_step.at[:, p].set(ep_step),
+            bad=self.bad.at[:, p].set(bad),
             ptr=(p + 1) % self.capacity,
             size=jnp.minimum(self.size + 1, self.capacity),
         )
 
     def append_block(
-        self, obs: Array, act: Array, next_obs: Array, done: Array, ep_step: Array
+        self, obs: Array, act: Array, next_obs: Array, done: Array,
+        ep_step: Array, bad: Array | None = None,
     ) -> "ReplayBuffer":
         """Write a (T, E, ...) time-major block via scan (post-collect bulk insert)."""
+        if bad is None:
+            bad = jnp.zeros_like(done)
 
         def body(buf, slice_):
-            o, a, no, d, es = slice_
-            return buf.append(o, a, no, d, es), None
+            o, a, no, d, es, b = slice_
+            return buf.append(o, a, no, d, es, b), None
 
-        buf, _ = jax.lax.scan(body, self, (obs, act, next_obs, done, ep_step))
+        buf, _ = jax.lax.scan(body, self, (obs, act, next_obs, done, ep_step, bad))
         return buf
 
     # ----------------------------------------------------------- sample --
@@ -164,19 +174,21 @@ class ReplayBuffer:
         hist_next = gather(self.next_obs, h_idx_c)
         hist_act = gather(self.act, h_idx_c)
         hist_es = gather(self.ep_step, h_idx_c)
+        hist_bad = gather(self.bad, h_idx_c)
 
         obs = gather(self.obs, f_idx_c)
         act = gather(self.act, f_idx_c)
         next_obs = gather(self.next_obs, f_idx_c)
         f_es = gather(self.ep_step, f_idx_c)
         f_done = gather(self.done, f_idx_c)
+        f_bad = gather(self.bad, f_idx_c)
 
         # --- validity masks -------------------------------------------------
         es0 = f_es[..., 0]  # episode step at the anchor
         # history slot at offset -j is real iff same episode: ep_step == es0 - j
         expect_h = es0[..., None] + offs_h
         hist_valid = (
-            h_in_range & (hist_es == expect_h) & (expect_h >= 0)
+            h_in_range & (hist_es == expect_h) & (expect_h >= 0) & (~hist_bad)
         ).astype(jnp.float32)
         # future step at offset +j contiguous iff ep_step == es0 + j and no
         # earlier step in the window terminated.
@@ -185,7 +197,7 @@ class ReplayBuffer:
         prev_done = jnp.cumsum(f_done.astype(jnp.int32), axis=-1) - f_done.astype(
             jnp.int32
         )
-        valid = (contig & (prev_done == 0)).astype(jnp.float32)
+        valid = (contig & (prev_done == 0) & (~f_bad)).astype(jnp.float32)
 
         return SegmentBatch(
             hist_obs=hist_obs,
@@ -202,8 +214,10 @@ class ReplayBuffer:
     def norm_inputs(self) -> Tuple[Array, Array, Array, Array]:
         """(obs, act, dobs, mask) flattened over (E, S) for stat computation."""
         mask = (
-            jnp.arange(self.capacity)[None, :] < self.size
-        ) & jnp.ones((self.n_envs, 1), bool)
+            (jnp.arange(self.capacity)[None, :] < self.size)
+            & jnp.ones((self.n_envs, 1), bool)
+            & (~self.bad)
+        )
         return (
             self.obs.reshape(-1, self.obs.shape[-1]),
             self.act.reshape(-1, self.act.shape[-1]),

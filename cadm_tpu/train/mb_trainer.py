@@ -147,7 +147,10 @@ class MBTrainer:
             next_states, obs, reward, done = self._step_collect(
                 env_states, actions
             )
-            buffer = buffer.append(prev_obs, actions, obs, done, ep_step)
+            buffer = buffer.append(
+                prev_obs, actions, obs, done, ep_step,
+                bad=env.bad_transition(prev_obs, obs),
+            )
             pushed = model.push_history(
                 dyn_state.params, dyn_state.norm, hists,
                 prev_obs, obs - prev_obs, actions,

@@ -170,7 +170,10 @@ class PPOTrainer:
             next_states, obs, reward, done = self._step_collect(
                 env_states, act
             )
-            buffer = buffer.append(prev_obs, act, obs, done, ep_step)
+            buffer = buffer.append(
+                prev_obs, act, obs, done, ep_step,
+                bad=env.bad_transition(prev_obs, obs),
+            )
             pushed = model.push_history(
                 dyn_state.params, dyn_state.norm, hists,
                 prev_obs, obs - prev_obs, act,

@@ -95,3 +95,32 @@ def test_train_valid_split_disjoint_and_covering():
     # train covers the non-valid columns densely
     assert len(train_cols) > 25
     assert train_cols.max() == 36
+
+
+def test_bad_transitions_masked_everywhere():
+    """Blowup-magnitude transitions (bad=True) are excluded from norm stats,
+    future loss masks, and encoder history windows (round-3 fix for the
+    stat-poisoning collapse seen on cripple_ant)."""
+    horizon, k, m = 100, 3, 3
+    buf = ReplayBuffer.create(n_envs=1, capacity=32, obs_dim=1, act_dim=1)
+    for t in range(20):
+        bad = jnp.array([t == 10])
+        obs = jnp.full((1, 1), float(t))
+        buf = buf.append(
+            obs, obs * 0 + 1.0, obs + (1e4 if t == 10 else 0.5),
+            jnp.array([False]), jnp.full((1,), t, jnp.int32), bad=bad,
+        )
+    # norm stats ignore the huge dobs row
+    _, _, dobs, mask = buf.norm_inputs()
+    _, ds = masked_mean_std(dobs, mask)
+    assert float(ds[0]) < 1.0
+    batch = buf.sample_segments(jax.random.key(3), (512,), k, m)
+    ts = np.asarray(batch.obs[:, 0, 0]).astype(int)
+    # future windows covering t=10 mask that slot
+    for j in range(m):
+        covers = (ts + j) == 10
+        assert not np.any(np.asarray(batch.valid)[covers, j] > 0)
+    # history windows covering t=10 mask that slot
+    for j in range(1, k + 1):
+        covers = (ts - j) == 10
+        assert not np.any(np.asarray(batch.hist_valid)[covers, k - j] > 0)
