@@ -42,9 +42,22 @@ class SlimHumanoidEnv(RigidEnv):
         return jnp.concatenate([phys.qpos[2:], phys.qvel])
 
     def reward(self, obs: Array, act: Array, next_obs: Array) -> Array:
+        """Healthy-gated alive bonus + velocity − ctrl cost, obs-only.
+
+        The alive bonus applies only while the torso height is in the healthy
+        band (the same predicate as termination, computable from the
+        observation: obs[0] is qpos[2]). Same rationale as HopperEnv.reward —
+        the planner scores MODEL-predicted futures with this function and an
+        ungated +5/step bonus makes predicted falls free, so CEM never learns
+        to stay upright (round-2 matrix: all humanoid variants flat at ~130 ≈
+        26 surviving steps). For real steps only the single terminal step's
+        reward changes.
+        """
         vx = next_obs[..., self._vx_index]
+        z = next_obs[..., 0]
+        healthy = ((z > 1.0) & (z < 2.0)).astype(vx.dtype)
         return (
-            self.alive_bonus
+            self.alive_bonus * healthy
             + self.vel_weight * vx
             - self.ctrl_cost * jnp.sum(act**2, axis=-1)
         )
