@@ -49,6 +49,11 @@ class ExperimentConfig:
     cem_iters: int = 5
     cem_elites: int = 20
     warm_start: bool = False
+    # ensemble propagation during planning: 'assign' = TS1 (candidates
+    # partitioned across members, single-model cost), 'mean' = every
+    # candidate under every member, CEM elites ranked on the member-mean
+    # return (n_members x the rollout rows; less member-optimism bias)
+    ensemble_eval: str = "assign"
     # env×candidate(×member) rollout rows per parallel planner block — the
     # libtpu fault threshold is shape-dependent (cheetah runs at 65536 rows,
     # slim_humanoid faults at 65520), so wide-obs families lower this
@@ -115,6 +120,7 @@ class ExperimentConfig:
                 cem_iters=self.cem_iters,
                 cem_elites=self.cem_elites,
                 warm_start=self.warm_start,
+                ensemble_eval=self.ensemble_eval,
                 max_parallel_rollouts=self.max_parallel_rollouts,
             ),
             model,

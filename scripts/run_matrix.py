@@ -29,6 +29,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 RESULTS_DIR = os.path.join(os.path.dirname(__file__), "..", "results", "raw")
 
+# buffer_capacity must be >= n_itr * steps_per_itr for every family: the
+# reference's dataset grows across iterations and never evicts; a wrapping
+# ring drops the early random-exploration data and the model's coverage
+# narrows (round 2: both cheetah pets seeds' final evals dipped ~40% right
+# after the 6000-column buffer wrapped at itr 12).
+#
 # Per-family scales: right-sized from the round-1 validated runs (BASELINE.md
 # seed-1 cheetah: ~1.3M env steps, warm-started CEM 256 cand H30 → eval 6574
 # in 8.4 min). Wall-clock per cell must stay ~5-12 min so the full
@@ -47,7 +53,7 @@ FAMILY_BASE = {
     ),
     "half_cheetah": dict(
         env="half_cheetah", planner="cem", n_candidates=256, plan_horizon=30,
-        n_envs=256, steps_per_itr=500, n_itr=16, buffer_capacity=6000,
+        n_envs=256, steps_per_itr=500, n_itr=16, buffer_capacity=8000,
         batch_size=256, eval_envs=32, warm_start=True, fit_protocol="epochs",
         eval_every=3,
     ),
@@ -56,7 +62,7 @@ FAMILY_BASE = {
     # 6574 with ~2x the data)
     "cripple_ant": dict(
         env="cripple_ant", planner="cem", n_candidates=256, plan_horizon=30,
-        n_envs=256, steps_per_itr=500, n_itr=18, buffer_capacity=6000,
+        n_envs=256, steps_per_itr=500, n_itr=18, buffer_capacity=9000,
         batch_size=256, eval_envs=32, warm_start=True, fit_protocol="epochs",
         eval_every=3,
     ),
@@ -85,6 +91,7 @@ FAMILY_BASE = {
 MODEL_VARIANTS = {
     "vanilla": dict(model="vanilla", ensemble=1),
     "cadm": dict(model="cadm", ensemble=1),
+    "pets": dict(model="vanilla", ensemble=5),
     "pets_cadm": dict(model="cadm", ensemble=5),
     # baseline rows (paper Fig.3-5 comparisons); run on selected families:
     #   python scripts/run_matrix.py --families half_cheetah hopper \
@@ -92,6 +99,18 @@ MODEL_VARIANTS = {
     "stacked": dict(model="stacked", ensemble=1),
     "rebal": dict(model="rnn", ensemble=1),
     "grbal": dict(model="grbal", ensemble=1),
+    # model-free rows (paper §4.3): PPO on raw obs vs PPO+CaDM on
+    # concat(obs, z); variant keys override the family planner knobs
+    "ppo": dict(
+        trainer="ppo", model="vanilla", ensemble=1, n_envs=128,
+        rollout_len=256, n_itr=60, model_updates_per_itr=200,
+        batch_size=256, buffer_capacity=4096, eval_envs=32,
+    ),
+    "ppo_cadm": dict(
+        trainer="ppo", model="cadm", ensemble=1, n_envs=128,
+        rollout_len=256, n_itr=60, model_updates_per_itr=200,
+        batch_size=256, buffer_capacity=4096, eval_envs=32,
+    ),
 }
 
 DEFAULT_FAMILIES = [
@@ -109,10 +128,8 @@ def run_cell(family: str, model: str, seed: int) -> dict:
 
     from cadm_tpu.cli.presets import ExperimentConfig
 
-    cfg = ExperimentConfig(
-        **FAMILY_BASE[family], **MODEL_VARIANTS[model], seed=seed,
-        eval_modes=(0, 1, 2),
-    )
+    kwargs = {**FAMILY_BASE[family], **MODEL_VARIANTS[model]}
+    cfg = ExperimentConfig(**kwargs, seed=seed, eval_modes=(0, 1, 2))
     env, dyn, planner, trainer = cfg.build()
     t0 = time.time()
     _, history = trainer.train(jax.random.key(seed))
