@@ -49,11 +49,13 @@ class ExperimentConfig:
     cem_iters: int = 5
     cem_elites: int = 20
     warm_start: bool = False
-    # ensemble propagation during planning: 'assign' = TS1 (candidates
-    # partitioned across members, single-model cost), 'mean' = every
-    # candidate under every member, CEM elites ranked on the member-mean
-    # return (n_members x the rollout rows; less member-optimism bias)
-    ensemble_eval: str = "assign"
+    # ensemble propagation during planning: 'ts1' = PETS TS1 (candidate->
+    # member assignment resampled every model step; single-model cost, no
+    # single-member winner's curse), 'assign' = TS∞-block (fixed member per
+    # rollout; cheapest but CEM elites can exploit one optimistic member),
+    # 'mean' = every candidate under every member, elites ranked on the
+    # member-mean return (n_members x the rollout rows)
+    ensemble_eval: str = "ts1"
     # env×candidate(×member) rollout rows per parallel planner block — the
     # libtpu fault threshold is shape-dependent (cheetah runs at 65536 rows,
     # slim_humanoid faults at 65520), so wide-obs families lower this

@@ -11,9 +11,10 @@ TPU design: the whole planner is a ``lax.scan`` (model steps) inside a
 ``lax.scan``/``fori_loop`` (CEM iterations), vmapped over envs — planning for
 thousands of envs is ONE fused XLA program; candidates × members form the
 batch axis feeding the MXU (SURVEY §3.4: the ≥100k rollouts/sec target).
-Ensemble propagation is TS∞ with one particle per member: every candidate is
-evaluated under all members and scored by the mean return (PETS TS variant
-that keeps shapes static and member-blocked).
+Ensemble propagation follows PETS trajectory sampling with static shapes:
+TS1 (default — candidate→member assignment resampled each step via a balanced
+permutation), TS∞-block ('assign'), or TS∞-mean ('mean'); see
+PlannerConfig.ensemble_eval.
 """
 from __future__ import annotations
 
@@ -40,14 +41,20 @@ class PlannerConfig:
     init_sigma: float = 0.5
     warm_start: bool = False   # receding-horizon: shift last plan's mean
     # Ensemble propagation for n_members > 1:
-    #   'assign' (default) — TS1-style: candidates are partitioned across
-    #     members, each candidate rolled out under ONE member (PETS trajectory
-    #     sampling; candidate count is padded up to a member multiple).
-    #     Rollout rows per env = n_candidates — 5-member planning costs the
-    #     same as single-model planning.
+    #   'ts1' (default) — PETS TS1: the candidate→member assignment is
+    #     RESAMPLED EVERY MODEL STEP (a balanced random permutation), so each
+    #     trajectory's return blends all members. Same rollout-row count as
+    #     'assign' (rows = member-padded n_candidates) plus two cheap gathers
+    #     per step. This is the PETS paper's TS1 propagation.
+    #   'assign' — TS∞-block: candidates are partitioned across members, each
+    #     candidate rolled out under ONE member for the whole horizon.
+    #     Cheapest, but scoring a candidate by a single member's return lets
+    #     CEM elites exploit the most optimistic member (winner's curse):
+    #     observed as cheetah PE-TS+CaDM returns peaking ~5500 mid-training
+    #     then collapsing to ~2100 as members diverged (rounds 2-3).
     #   'mean' — TS∞-mean: every candidate under EVERY member, scored by the
     #     mean return (rows = candidates × members; 5x the compute).
-    ensemble_eval: str = "assign"
+    ensemble_eval: str = "ts1"
     # Sample from the probabilistic heads during planning rollouts (stochastic
     # PETS trajectory sampling)? Default False: each member propagates its
     # Gaussian MEAN — member diversity still spreads hypotheses, but CEM
@@ -84,12 +91,15 @@ class MPCPlanner:
     ) -> Array:
         """Return of each candidate sequence under the ensemble.
 
-        'assign' (TS1): candidate i runs under member i*n//C — one rollout
-        per candidate. 'mean' (TS∞-mean): every candidate under every member,
-        scored by the member-mean return. See PlannerConfig.ensemble_eval.
+        'ts1': per-step member resampling (PETS TS1). 'assign' (TS∞-block):
+        candidate i runs under member i*n//C for the whole horizon. 'mean'
+        (TS∞-mean): every candidate under every member, scored by the
+        member-mean return. See PlannerConfig.ensemble_eval.
         """
         n = self.model.cfg.n_members
         c = actions.shape[0]
+        if self.cfg.ensemble_eval == "ts1" and n > 1:
+            return self._evaluate_ts1(params, norm, obs0, z, actions, rng)
         assign = self.cfg.ensemble_eval == "assign" and n > 1
         if assign:
             # pad candidates up to a member multiple, block-partition
@@ -134,6 +144,55 @@ class MPCPlanner:
         if assign:
             return rewards.sum(axis=0).reshape(n * cm)[:c]  # (C,)
         return rewards.sum(axis=0).mean(axis=0)  # (C,)
+
+    def _evaluate_ts1(
+        self,
+        params: PyTree,
+        norm: NormStats,
+        obs0: Array,      # (obs_dim,)
+        z: Array,         # (ctx_dim,)
+        actions: Array,   # (C, H, act_dim)
+        rng: Array,
+    ) -> Array:
+        """PETS TS1 candidate returns: member assignment resampled per step.
+
+        Each model step draws a fresh balanced candidate→member permutation,
+        so over a 30-step horizon every trajectory's return mixes all members
+        — no single over-optimistic member can win CEM elite selection (the
+        'assign' winner's curse). Compute equals 'assign' (rows = the
+        member-padded candidate count) plus two (C, obs_dim) gathers a step.
+        """
+        n = self.model.cfg.n_members
+        c = actions.shape[0]
+        cm = -(-c // n)                       # candidates per member block
+        cp = cm * n
+        if cp != c:
+            actions = jnp.resize(actions, (cp, *actions.shape[1:]))
+        obs = jnp.broadcast_to(obs0, (cp, obs0.shape[-1]))
+        z_b = jnp.broadcast_to(z, (n, cm, z.shape[-1]))
+        sample = self.cfg.sample_predictions
+
+        def step(carry, a_t):
+            obs, rng = carry
+            rng, k_perm, k_pred = jax.random.split(rng, 3)
+            perm = jax.random.permutation(k_perm, cp)
+            inv = jnp.argsort(perm)
+            obs_m = obs[perm].reshape(n, cm, obs.shape[-1])
+            a_m = a_t[perm].reshape(n, cm, a_t.shape[-1])
+            keys = jax.random.split(k_pred, n)
+            pred = jax.vmap(
+                lambda fwd_m, o, a_mm, zz, kk: self.model.predict(
+                    params, norm, fwd_m, o, a_mm, zz,
+                    kk if sample else None,
+                )
+            )(params["fwd"], obs_m, a_m, z_b, keys)
+            next_obs = pred.reshape(cp, pred.shape[-1])[inv]
+            r = self.reward_fn(obs, a_t, next_obs)  # (cp,)
+            return (next_obs, rng), r
+
+        a_seq = jnp.swapaxes(actions, 0, 1)   # (H, cp, act)
+        (_, _), rewards = jax.lax.scan(step, (obs, rng), a_seq)
+        return rewards.sum(axis=0)[:c]
 
     # ---------------------------------------------------------------- act --
     def _plan_single(
@@ -195,12 +254,12 @@ class MPCPlanner:
         all members, so the row count that trips the libtpu 2^16 fault is
         candidates × members — NOT candidates alone (the 5-member PE-TS
         configs crashed at 256 envs × 256 cand × 5 members until members
-        were counted here). In 'assign' (TS1) mode each candidate rolls out
-        under exactly one member: rows = candidates (padded to a member
-        multiple).
+        were counted here). In 'ts1' and 'assign' modes each candidate
+        occupies exactly one rollout row: rows = candidates (padded to a
+        member multiple).
         """
         members = max(1, getattr(self.model.cfg, "n_members", 1))
-        if self.cfg.ensemble_eval == "assign" or members == 1:
+        if self.cfg.ensemble_eval in ("assign", "ts1") or members == 1:
             return -(-self.cfg.n_candidates // members) * members
         return self.cfg.n_candidates * members
 

@@ -218,9 +218,11 @@ def test_chunk_budget_counts_ensemble_members():
     assert mk(4, "mean")._rows_per_env() == 64
     assert mk(4, "assign")._rows_per_env() == 16
     assert mk(3, "assign")._rows_per_env() == 18  # padded to member multiple
+    assert mk(4, "ts1")._rows_per_env() == 16
+    assert mk(3, "ts1")._rows_per_env() == 18
     # 64-row budget with 4 members x 16 candidates in mean mode
     # -> 1 env per chunk; planning still works end to end at that chunking
-    for mode in ("mean", "assign"):
+    for mode in ("mean", "assign", "ts1"):
         planner = mk(4, mode)
         state = planner.model.init_state(jax.random.key(0))
         obs = jax.random.normal(jax.random.key(1), (3, 3))
@@ -256,6 +258,52 @@ def test_ts1_assign_matches_mean_on_agreeing_ensemble():
     p_mean = MPCPlanner(
         dataclasses.replace(cfg, ensemble_eval="mean"), model, reward_fn, ACT
     )
+    p_ts1 = MPCPlanner(
+        dataclasses.replace(cfg, ensemble_eval="ts1"), model, reward_fn, ACT
+    )
     a1, _ = p_assign.plan(state, obs, z, jax.random.key(2))
     a2, _ = p_mean.plan(state, obs, z, jax.random.key(2))
+    a3, _ = p_ts1.plan(state, obs, z, jax.random.key(2))
     np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-5)
+    # TS1's per-step permutation is a no-op on an agreeing ensemble: same
+    # candidate returns, same elites, same plan
+    np.testing.assert_allclose(np.asarray(a3), np.asarray(a2), atol=1e-5)
+
+
+def test_ts1_mixes_members_within_a_rollout():
+    """With members that DISAGREE, TS1 candidate returns must blend members:
+    an ensemble of a zero-dynamics member and a drift member gives per-step
+    mixed trajectories, so no candidate scores as if under one member alone.
+    Checked against 'assign', where block-constant member returns differ by
+    construction."""
+    import dataclasses
+
+    from cadm_tpu.models.dynamics import Dynamics, DynamicsConfig
+    from cadm_tpu.planners.mpc import MPCPlanner, PlannerConfig
+
+    model = Dynamics(DynamicsConfig(obs_dim=OBS, act_dim=ACT, hidden=(16,),
+                                    n_members=2, history_k=2, future_m=1))
+    state = model.init_state(jax.random.key(0))
+    cfg = PlannerConfig(kind="rs", horizon=16, n_candidates=8,
+                        ensemble_eval="ts1")
+    p = MPCPlanner(cfg, model, reward_fn, ACT)
+    obs0 = jnp.array([1.0, 0.0])
+    z = jnp.zeros((0,))
+    actions = jnp.zeros((8, 16, ACT))  # identical candidates
+    rets = p._evaluate(
+        state.params, state.norm, obs0, z, actions, jax.random.key(3)
+    )
+    # identical action sequences under per-step random member draws: returns
+    # differ across candidates (mixing happened)
+    assert float(jnp.std(rets)) > 1e-6
+    p_assign = MPCPlanner(
+        dataclasses.replace(cfg, ensemble_eval="assign"), model, reward_fn, ACT
+    )
+    rets_a = p_assign._evaluate(
+        state.params, state.norm, obs0, z, actions, jax.random.key(3)
+    )
+    # 'assign' rolls each identical candidate under ONE member for the whole
+    # horizon: at most n_members distinct returns; TS1's per-step mixing
+    # produces more distinct values than members
+    assert len(set(np.asarray(rets_a).round(6).tolist())) <= 2
+    assert len(set(np.asarray(rets).round(6).tolist())) > 2
