@@ -156,11 +156,18 @@ class MPCPlanner:
     ) -> Array:
         """PETS TS1 candidate returns: member assignment resampled per step.
 
-        Each model step draws a fresh balanced candidate→member permutation,
-        so over a 30-step horizon every trajectory's return mixes all members
-        — no single over-optimistic member can win CEM elite selection (the
-        'assign' winner's curse). Compute equals 'assign' (rows = the
-        member-padded candidate count) plus two (C, obs_dim) gathers a step.
+        Block-granular TS1, chosen for the TPU: candidates stay partitioned
+        into n_members blocks, and each model step draws a fresh permutation
+        of WHICH member integrates WHICH block. Over a 30-step horizon every
+        block's return mixes all members (~horizon/n steps each), so no
+        single over-optimistic member can win CEM elite selection (the
+        'assign' winner's curse). The shuffle costs an n-element argsort and
+        two n-slice gathers per step — a full per-ROW permutation (exact
+        TS1) needs a batched 260-element sort + 260-row gathers inside the
+        scan-in-scan and lowered catastrophically on the tunneled v5e
+        (23.8 s per 64-env plan call vs ~0.1 s for this form; at collect
+        scale the slow program tripped the worker watchdog as 'TPU worker
+        process crashed').
         """
         n = self.model.cfg.n_members
         c = actions.shape[0]
@@ -168,31 +175,32 @@ class MPCPlanner:
         cp = cm * n
         if cp != c:
             actions = jnp.resize(actions, (cp, *actions.shape[1:]))
-        obs = jnp.broadcast_to(obs0, (cp, obs0.shape[-1]))
+        # candidate-block order is FIXED; only the block->member map moves
+        obs = jnp.broadcast_to(obs0, (n, cm, obs0.shape[-1]))
         z_b = jnp.broadcast_to(z, (n, cm, z.shape[-1]))
+        acts = actions.reshape(n, cm, *actions.shape[1:])
         sample = self.cfg.sample_predictions
 
         def step(carry, a_t):
+            # obs (n, cm, d) in candidate-block order; a_t (n, cm, act)
             obs, rng = carry
             rng, k_perm, k_pred = jax.random.split(rng, 3)
-            perm = jax.random.permutation(k_perm, cp)
-            inv = jnp.argsort(perm)
-            obs_m = obs[perm].reshape(n, cm, obs.shape[-1])
-            a_m = a_t[perm].reshape(n, cm, a_t.shape[-1])
+            perm = jax.random.permutation(k_perm, n)   # block b -> member perm[b]
+            inv = jnp.argsort(perm)                    # member m -> block inv[m]
             keys = jax.random.split(k_pred, n)
-            pred = jax.vmap(
+            pred_by_member = jax.vmap(
                 lambda fwd_m, o, a_mm, zz, kk: self.model.predict(
                     params, norm, fwd_m, o, a_mm, zz,
                     kk if sample else None,
                 )
-            )(params["fwd"], obs_m, a_m, z_b, keys)
-            next_obs = pred.reshape(cp, pred.shape[-1])[inv]
-            r = self.reward_fn(obs, a_t, next_obs)  # (cp,)
+            )(params["fwd"], obs[inv], a_t[inv], z_b, keys)
+            next_obs = pred_by_member[perm]            # back to block order
+            r = self.reward_fn(obs, a_t, next_obs)     # (n, cm)
             return (next_obs, rng), r
 
-        a_seq = jnp.swapaxes(actions, 0, 1)   # (H, cp, act)
+        a_seq = jnp.swapaxes(acts, 0, 2).swapaxes(1, 2)  # (H, n, cm, act)
         (_, _), rewards = jax.lax.scan(step, (obs, rng), a_seq)
-        return rewards.sum(axis=0)[:c]
+        return rewards.sum(axis=0).reshape(cp)[:c]
 
     # ---------------------------------------------------------------- act --
     def _plan_single(

@@ -271,39 +271,44 @@ def test_ts1_assign_matches_mean_on_agreeing_ensemble():
 
 
 def test_ts1_mixes_members_within_a_rollout():
-    """With members that DISAGREE, TS1 candidate returns must blend members:
-    an ensemble of a zero-dynamics member and a drift member gives per-step
-    mixed trajectories, so no candidate scores as if under one member alone.
-    Checked against 'assign', where block-constant member returns differ by
-    construction."""
+    """Exact semantics check with a stub 2-member model (member m advances
+    obs by +m each step) and reward = obs[0]:
+
+    - 'assign' rolls each candidate under ONE member: returns are exactly
+      {0, H(H+1)/2} (pure member-0 / member-1 trajectories).
+    - 'ts1' redraws the block->member permutation each step, so each block's
+      return is a mixed partial sum STRICTLY between the pure extremes; for
+      this linear stub the two blocks' returns sum to the 'assign' total
+      exactly (each step hands +1 to exactly one block)."""
     import dataclasses
 
-    from cadm_tpu.models.dynamics import Dynamics, DynamicsConfig
     from cadm_tpu.planners.mpc import MPCPlanner, PlannerConfig
 
-    model = Dynamics(DynamicsConfig(obs_dim=OBS, act_dim=ACT, hidden=(16,),
-                                    n_members=2, history_k=2, future_m=1))
-    state = model.init_state(jax.random.key(0))
-    cfg = PlannerConfig(kind="rs", horizon=16, n_candidates=8,
+    class StubCfg:
+        n_members = 2
+
+    class StubModel:
+        cfg = StubCfg()
+
+        def predict(self, params, norm, fwd_m, o, a, z, rng):
+            return o + fwd_m
+
+    H = 16
+    reward = lambda o, a, no: no[..., 0]
+    cfg = PlannerConfig(kind="rs", horizon=H, n_candidates=2,
                         ensemble_eval="ts1")
-    p = MPCPlanner(cfg, model, reward_fn, ACT)
-    obs0 = jnp.array([1.0, 0.0])
+    params = {"fwd": jnp.array([0.0, 1.0])}
+    obs0 = jnp.zeros((1,))
     z = jnp.zeros((0,))
-    actions = jnp.zeros((8, 16, ACT))  # identical candidates
-    rets = p._evaluate(
-        state.params, state.norm, obs0, z, actions, jax.random.key(3)
-    )
-    # identical action sequences under per-step random member draws: returns
-    # differ across candidates (mixing happened)
-    assert float(jnp.std(rets)) > 1e-6
+    actions = jnp.zeros((2, H, ACT))
+    p = MPCPlanner(cfg, StubModel(), reward, ACT)
+    rets = p._evaluate(params, None, obs0, z, actions, jax.random.key(3))
     p_assign = MPCPlanner(
-        dataclasses.replace(cfg, ensemble_eval="assign"), model, reward_fn, ACT
+        dataclasses.replace(cfg, ensemble_eval="assign"), StubModel(), reward, ACT
     )
-    rets_a = p_assign._evaluate(
-        state.params, state.norm, obs0, z, actions, jax.random.key(3)
-    )
-    # 'assign' rolls each identical candidate under ONE member for the whole
-    # horizon: at most n_members distinct returns; TS1's per-step mixing
-    # produces more distinct values than members
-    assert len(set(np.asarray(rets_a).round(6).tolist())) <= 2
-    assert len(set(np.asarray(rets).round(6).tolist())) > 2
+    rets_a = p_assign._evaluate(params, None, obs0, z, actions, jax.random.key(3))
+    total = H * (H + 1) / 2
+    np.testing.assert_allclose(sorted(np.asarray(rets_a)), [0.0, total])
+    # mixing: strictly between the pure-member extremes, exact total
+    assert 0.0 < float(rets.min()) and float(rets.max()) < total, rets
+    np.testing.assert_allclose(float(rets.sum()), total, rtol=1e-6)
