@@ -12,7 +12,7 @@ ranges, seed — and builds the component stack.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 from cadm_tpu.envs import make
 from cadm_tpu.models.dynamics import Dynamics, DynamicsConfig
@@ -32,6 +32,13 @@ class ExperimentConfig:
     # from the canonical [-1,1] box onto native limits — obs whitening is
     # opt-in via the wrapper directly, since planner rewards need raw obs)
     normalize_env: bool = False
+    # Episode protocol overrides (None = family default). The MBBL lineage
+    # the reference envs follow (Wang et al. 2019) removes early termination
+    # and fixes episodes at 1000 steps; set terminate_unhealthy=False,
+    # env_horizon=1000 on hopper/slim_humanoid to reproduce paper-scale
+    # returns (the healthy-termination defaults cap returns at the fall time)
+    terminate_unhealthy: Optional[bool] = None
+    env_horizon: Optional[int] = None
     # model
     model: str = "cadm"           # vanilla | stacked | cadm | rnn | grbal
     ensemble: int = 1             # >1 = PE-TS-style probabilistic ensemble
@@ -153,7 +160,12 @@ class ExperimentConfig:
         return env, model, planner, trainer
 
     def _make_env(self):
-        env = make(self.env, randomization=self.randomization)
+        overrides = {}
+        if self.terminate_unhealthy is not None:
+            overrides["terminate_unhealthy"] = self.terminate_unhealthy
+        if self.env_horizon is not None:
+            overrides["horizon"] = self.env_horizon
+        env = make(self.env, randomization=self.randomization, **overrides)
         if self.normalize_env:
             from cadm_tpu.envs.wrappers import NormalizedEnv
 

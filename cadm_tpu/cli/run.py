@@ -39,13 +39,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model-par", type=int, default=1, help="ensemble-member mesh axis")
     for f in dataclasses.fields(ExperimentConfig):
         flag = "--" + f.name.replace("_", "-")
-        if f.type == "bool" or isinstance(f.default, bool):
-            p.add_argument(flag, type=lambda s: s.lower() in ("1", "true"), default=None)
-        elif isinstance(f.default, tuple):
+        # with `from __future__ import annotations` f.type is a STRING, and
+        # Optional[...] fields default to None — dispatch on the annotation
+        # text so e.g. --terminate-unhealthy parses as a bool, not "false"
+        t = str(f.type)
+        if isinstance(f.default, tuple):
             p.add_argument(flag, type=lambda s: tuple(int(x) for x in s.split(",")), default=None)
-        elif isinstance(f.default, int):
+        elif "bool" in t or isinstance(f.default, bool):
+            p.add_argument(flag, type=lambda s: s.lower() in ("1", "true"), default=None)
+        elif isinstance(f.default, int) or "int" in t:
             p.add_argument(flag, type=int, default=None)
-        elif isinstance(f.default, float):
+        elif isinstance(f.default, float) or "float" in t:
             p.add_argument(flag, type=float, default=None)
         else:
             p.add_argument(flag, type=str, default=None)

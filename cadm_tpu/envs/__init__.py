@@ -18,7 +18,9 @@ ENVS = {
 }
 
 
-def make(name: str, randomization: str = "discrete") -> Env:
+def make(name: str, randomization: str = "discrete", **overrides) -> Env:
     """Construct an env family; ``randomization`` = "discrete" (paper
-    protocol, default) or "continuous" (round-1 uniform bands)."""
-    return ENVS[name](randomization)
+    protocol, default) or "continuous" (round-1 uniform bands). Extra
+    keywords (``terminate_unhealthy``, ``horizon``) override family
+    defaults — see ``Env.__init__`` for the MBBL fixed-horizon protocol."""
+    return ENVS[name](randomization, **overrides)

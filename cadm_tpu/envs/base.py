@@ -41,12 +41,30 @@ class Env:
     # extreme dynamics-shift ranges (arXiv:2005.06800 §5.1).
     TRAIN, MODERATE, EXTREME = 0, 1, 2
 
-    def __init__(self, randomization: str = "discrete"):
+    def __init__(
+        self,
+        randomization: str = "discrete",
+        terminate_unhealthy: "bool | None" = None,
+        horizon: "int | None" = None,
+    ):
         """``randomization`` picks the hidden-param sampling scheme:
         "discrete" = the paper's per-mode scale sets (default),
         "continuous" = round 1's uniform extrapolation bands (ablation).
+
+        ``terminate_unhealthy``/``horizon`` override the family defaults —
+        the MBBL benchmark protocol (Wang et al. 2019, the reference env
+        lineage: SURVEY.md §2.1) REMOVES early termination and runs every
+        episode a fixed 1000 steps, so hopper/slim_humanoid paper returns
+        come from full-length episodes. ``terminate_unhealthy=False,
+        horizon=1000`` reproduces that; the family defaults keep gym-style
+        healthy termination (with the alive bonus healthy-gated so the
+        planner prices predicted falls).
         """
         self.randomization = randomization
+        if terminate_unhealthy is not None:
+            self.terminate_unhealthy = terminate_unhealthy
+        if horizon is not None:
+            self.horizon = horizon
 
     # --- primitive hooks ----------------------------------------------------
     def sample_params(self, rng: Array, mode: int) -> PyTree:

@@ -55,8 +55,14 @@ class HopperEnv(RigidEnv):
         state anyway).
         """
         vx = next_obs[..., self._vx_index]
-        z, pitch = next_obs[..., 0], next_obs[..., 1]
-        healthy = ((z > 0.7) & (jnp.abs(pitch) < 0.2)).astype(vx.dtype)
+        if self.terminate_unhealthy:
+            z, pitch = next_obs[..., 0], next_obs[..., 1]
+            healthy = ((z > 0.7) & (jnp.abs(pitch) < 0.2)).astype(vx.dtype)
+        else:
+            # MBBL fixed-horizon protocol: no termination, so the bonus is
+            # the reference's unconditional +1/step (a constant the planner
+            # correctly ignores)
+            healthy = 1.0
         return (
             vx
             + self.alive_bonus * healthy

@@ -53,8 +53,8 @@ class RigidEnv(Env):
     asset: str
     frame_skip: int
 
-    def __init__(self, randomization: str = "discrete"):
-        super().__init__(randomization)
+    def __init__(self, randomization: str = "discrete", **overrides):
+        super().__init__(randomization, **overrides)
         self.sys = load_system(self.asset)
         self.dt = self.sys.dt * self.frame_skip
         self._scale = canonical(randomization)

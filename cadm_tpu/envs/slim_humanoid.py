@@ -54,8 +54,13 @@ class SlimHumanoidEnv(RigidEnv):
         reward changes.
         """
         vx = next_obs[..., self._vx_index]
-        z = next_obs[..., 0]
-        healthy = ((z > 1.0) & (z < 2.0)).astype(vx.dtype)
+        if self.terminate_unhealthy:
+            z = next_obs[..., 0]
+            healthy = ((z > 1.0) & (z < 2.0)).astype(vx.dtype)
+        else:
+            # MBBL fixed-horizon protocol: unconditional +5/step, as in the
+            # reference lineage's slim humanoid (done = False)
+            healthy = 1.0
         return (
             self.alive_bonus * healthy
             + self.vel_weight * vx

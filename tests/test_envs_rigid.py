@@ -148,3 +148,29 @@ def test_hopper_alive_bonus_gated_on_health():
     r_t = float(env.reward(healthy, act, tipped))
     assert abs(r_h - env.alive_bonus) < 1e-6
     assert abs(r_f) < 1e-6 and abs(r_t) < 1e-6
+
+
+def test_mbbl_fixed_horizon_protocol():
+    """The MBBL protocol (reference env lineage: no early termination,
+    fixed 1000-step episodes, unconditional alive bonus) is reproduced by
+    terminate_unhealthy=False + horizon=1000 overrides."""
+    for name, bonus in [("hopper", 1.0), ("slim_humanoid", 5.0)]:
+        env = make(name, terminate_unhealthy=False, horizon=1000)
+        assert env.horizon == 1000
+        state = env.reset(jax.random.key(0))
+        # an obviously fallen observation still earns the full alive bonus
+        fallen = jnp.zeros((env.obs_dim,)).at[0].set(0.1)
+        act = jnp.zeros((env.act_dim,))
+        r_fallen = float(env.reward(state.obs, act, fallen))
+        assert r_fallen >= bonus - 1.0, (name, r_fallen)
+        # terminated() never fires on unhealthy phys under the protocol
+        phys = state.phys
+        low = phys.qpos.at[1 if name == "hopper" else 2].set(0.05)
+        phys = type(phys)(qpos=low, qvel=phys.qvel)
+        obs = env.observe(state.params, phys)
+        assert not bool(env.terminated(state.params, phys, obs))
+        # ... while the default (gym-style) env does terminate there
+        env_t = make(name)
+        assert bool(env_t.terminated(state.params, phys, obs))
+        # and the default reward withholds the bonus on the fallen obs
+        assert float(env_t.reward(state.obs, act, fallen)) < r_fallen - 0.5 * bonus
