@@ -345,17 +345,22 @@ class Dynamics:
                     b_mean, b_logvar, -target
                 )
             w = mb.valid / (jnp.sum(mb.valid) + 1e-8)
-            return jnp.sum(per_step * w)
+            # normalized forward-MEAN error, NLL-free: for probabilistic
+            # models the NLL can keep improving while the means the planner
+            # rolls out get worse (variance shrinks) — this metric is the
+            # planner-relevant model quality
+            mse = jnp.sum(jnp.mean((f_mean - target) ** 2, axis=-1) * w)
+            return jnp.sum(per_step * w), mse
 
         bwd = params.get("bwd")
         if bwd is not None:
-            losses = jax.vmap(member_loss)(params["fwd"], bwd, batch)
+            losses, mses = jax.vmap(member_loss)(params["fwd"], bwd, batch)
         else:
-            losses = jax.vmap(lambda f, mb: member_loss(f, None, mb))(
+            losses, mses = jax.vmap(lambda f, mb: member_loss(f, None, mb))(
                 params["fwd"], batch
             )
         total = jnp.mean(losses)
-        metrics = {"model_loss": total}
+        metrics = {"model_loss": total, "fwd_mean_mse": jnp.mean(mses)}
         if c.probabilistic:
             bound_pen = c.logvar_penalty * (
                 jnp.sum(params["max_logvar"]) - jnp.sum(params["min_logvar"])

@@ -226,6 +226,18 @@ class MBTrainer:
         keys = jax.random.split(rng, self.cfg.valid_batches)
         return jax.vmap(one)(keys).mean()
 
+    def _valid_fwd_mse(self, buffer, rng, dyn_state):
+        """Held-out normalized forward-MEAN MSE (planner-relevant quality;
+        NLL improves when variance shrinks even if the means degrade)."""
+        def one(k):
+            batch = self._sample(buffer, k, "valid")
+            _, m = self.model.loss(dyn_state.params, dyn_state.norm, batch)
+            # GrBAL's loss does not report the key (its MSE IS the loss)
+            return m.get("fwd_mean_mse", jnp.nan)
+
+        keys = jax.random.split(rng, self.cfg.valid_batches)
+        return jax.vmap(one)(keys).mean()
+
     def _fit_impl(self, rng, buffer: ReplayBuffer, dyn_state: DynamicsState):
         """Round-1 protocol: fixed scan of ``model_updates_per_itr`` Adam
         steps on the train partition, valid loss before/after."""
@@ -247,6 +259,9 @@ class MBTrainer:
             "fit/model_loss_mean": losses.mean(),
             "fit/valid_loss_before": val_before,
             "fit/valid_loss_after": val_after,
+            "fit/valid_fwd_mse_after": self._valid_fwd_mse(
+                buffer, r_valid, dyn_state
+            ),
         }
 
     def _fit_epochs_impl(self, rng, buffer: ReplayBuffer, dyn_state: DynamicsState):
@@ -327,6 +342,9 @@ class MBTrainer:
             "fit/model_loss_mean": jnp.nanmean(train_losses),
             "fit/valid_loss_before": val0,
             "fit/valid_loss_after": best,
+            "fit/valid_fwd_mse_after": self._valid_fwd_mse(
+                buffer, r_init, dyn_state
+            ),
             "fit/epochs_run": ran.sum(),
         }
 
