@@ -135,6 +135,10 @@ class ExperimentConfig:
             model,
             env.reward,
             env.act_dim,
+            # env-defined blowup limits terminate+penalize exploding MODEL
+            # rollouts (inf on analytic envs = guard statically off)
+            bad_transition_fn=env.bad_transition,
+            obs_limit=env.bad_obs_limit,
         )
         trainer = MBTrainer(
             env,
@@ -244,6 +248,10 @@ class ExperimentConfig:
             model,
             env.reward,
             env.act_dim,
+            # env-defined blowup limits terminate+penalize exploding MODEL
+            # rollouts (inf on analytic envs = guard statically off)
+            bad_transition_fn=env.bad_transition,
+            obs_limit=env.bad_obs_limit,
         )
         trainer = MBTrainer(
             env, model, planner,

@@ -37,19 +37,31 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--dp", type=int, default=0, help="data-parallel mesh axis")
     p.add_argument("--model-par", type=int, default=1, help="ensemble-member mesh axis")
+    # with `from __future__ import annotations` f.type is a STRING —
+    # resolve the real types (unwrapping Optional/Tuple) rather than
+    # substring-matching the annotation text (ADVICE r3)
+    import typing
+
+    hints = typing.get_type_hints(ExperimentConfig)
     for f in dataclasses.fields(ExperimentConfig):
         flag = "--" + f.name.replace("_", "-")
-        # with `from __future__ import annotations` f.type is a STRING, and
-        # Optional[...] fields default to None — dispatch on the annotation
-        # text so e.g. --terminate-unhealthy parses as a bool, not "false"
-        t = str(f.type)
-        if isinstance(f.default, tuple):
-            p.add_argument(flag, type=lambda s: tuple(int(x) for x in s.split(",")), default=None)
-        elif "bool" in t or isinstance(f.default, bool):
+        t = hints[f.name]
+        if typing.get_origin(t) in (typing.Union,):  # Optional[X] -> X
+            t = next(
+                a for a in typing.get_args(t) if a is not type(None)
+            )
+        if typing.get_origin(t) is tuple:
+            elem = typing.get_args(t)[0]
+            p.add_argument(
+                flag,
+                type=lambda s, e=elem: tuple(e(x) for x in s.split(",")),
+                default=None,
+            )
+        elif t is bool:
             p.add_argument(flag, type=lambda s: s.lower() in ("1", "true"), default=None)
-        elif isinstance(f.default, int) or "int" in t:
+        elif t is int:
             p.add_argument(flag, type=int, default=None)
-        elif isinstance(f.default, float) or "float" in t:
+        elif t is float:
             p.add_argument(flag, type=float, default=None)
         else:
             p.add_argument(flag, type=str, default=None)

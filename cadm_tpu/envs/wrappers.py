@@ -84,6 +84,15 @@ class NormalizedEnv(Env):
             stats = stats.update(self.env.observe(params, inner))
         return NormalizedPhys(inner=inner, stats=stats)
 
+    def bad_transition(self, obs, next_obs):
+        # Delegate to the wrapped env's magnitude limits (ADVICE r3 medium:
+        # inheriting Env's inf limits silently disabled the blowup masking
+        # whenever normalize_env=True). With normalize_obs the whitened obs
+        # are clipped at clip_obs << any family's raw limit, so delegation is
+        # only meaningful in the raw-obs (action-rescaling-only) mode — which
+        # is the mode the trainers use.
+        return self.env.bad_transition(obs, next_obs)
+
     def reward(self, obs, act, next_obs):
         # NOTE: with normalize_obs the planner invariant requires rewards on
         # RAW observations — so the wrapper's reward contract only supports

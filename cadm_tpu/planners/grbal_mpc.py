@@ -9,6 +9,8 @@ CaDM (array z) and GrBAL (pytree z) planners.
 """
 from __future__ import annotations
 
+from typing import Callable, Optional
+
 import jax
 import jax.numpy as jnp
 
@@ -20,12 +22,25 @@ from cadm_tpu.planners.mpc import MPCPlanner, PlannerConfig, RewardFn
 
 class GrBALPlanner(MPCPlanner):
     def __init__(
-        self, config: PlannerConfig, model: GrBAL, reward_fn: RewardFn, act_dim: int
+        self,
+        config: PlannerConfig,
+        model: GrBAL,
+        reward_fn: RewardFn,
+        act_dim: int,
+        bad_transition_fn: Optional[Callable[[Array, Array], Array]] = None,
+        obs_limit: float = float("inf"),
     ):
         self.cfg = config
         self.model = model
         self.reward_fn = reward_fn
         self.act_dim = act_dim
+        import math
+
+        self.bad_transition_fn = bad_transition_fn
+        self.obs_limit = float(obs_limit)
+        self._guard_on = bad_transition_fn is not None and math.isfinite(
+            self.obs_limit
+        )
 
     def _evaluate(
         self,
@@ -39,12 +54,19 @@ class GrBALPlanner(MPCPlanner):
         c = actions.shape[0]
         obs = jnp.broadcast_to(obs0, (c, obs0.shape[-1]))
 
-        def step(obs, a_t):
+        def step(carry, a_t):
+            obs, alive = carry
             next_obs = self.model.predict(z, norm, obs, a_t)
-            r = self.reward_fn(obs, a_t, next_obs)
-            return next_obs, r
+            next_obs, alive, blown = self._guard(obs, next_obs, alive)
+            r = (
+                self.reward_fn(obs, a_t, next_obs) * alive
+                - self.cfg.blowup_penalty * blown
+            )
+            return (next_obs, alive), r
 
-        _, rewards = jax.lax.scan(step, obs, jnp.swapaxes(actions, 0, 1))
+        (_, _), rewards = jax.lax.scan(
+            step, (obs, jnp.ones((c,))), jnp.swapaxes(actions, 0, 1)
+        )
         return rewards.sum(axis=0)  # (C,)
 
     def init_plan(self, n_envs: int) -> Array:

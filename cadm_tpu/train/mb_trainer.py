@@ -216,27 +216,25 @@ class MBTrainer:
             split=split,
         )
 
-    def _valid_loss(self, buffer, rng, dyn_state):
-        """Mean loss over ``valid_batches`` held-out minibatches."""
+    def _valid_metrics(self, buffer, rng, dyn_state):
+        """(mean valid loss, mean forward-MEAN MSE) over ``valid_batches``
+        held-out minibatches — one forward pass computes both (the MSE is
+        planner-relevant quality: NLL improves when variance shrinks even if
+        the means degrade)."""
         def one(k):
             batch = self._sample(buffer, k, "valid")
-            loss, _ = self.model.loss(dyn_state.params, dyn_state.norm, batch)
-            return loss
-
-        keys = jax.random.split(rng, self.cfg.valid_batches)
-        return jax.vmap(one)(keys).mean()
-
-    def _valid_fwd_mse(self, buffer, rng, dyn_state):
-        """Held-out normalized forward-MEAN MSE (planner-relevant quality;
-        NLL improves when variance shrinks even if the means degrade)."""
-        def one(k):
-            batch = self._sample(buffer, k, "valid")
-            _, m = self.model.loss(dyn_state.params, dyn_state.norm, batch)
+            loss, m = self.model.loss(dyn_state.params, dyn_state.norm, batch)
             # GrBAL's loss does not report the key (its MSE IS the loss)
-            return m.get("fwd_mean_mse", jnp.nan)
+            return loss, m.get("fwd_mean_mse", jnp.nan)
 
         keys = jax.random.split(rng, self.cfg.valid_batches)
-        return jax.vmap(one)(keys).mean()
+        losses, mses = jax.vmap(one)(keys)
+        return losses.mean(), mses.mean()
+
+    def _valid_loss(self, buffer, rng, dyn_state):
+        """Mean loss over ``valid_batches`` held-out minibatches (the unused
+        MSE output is dead-code-eliminated under jit)."""
+        return self._valid_metrics(buffer, rng, dyn_state)[0]
 
     def _fit_impl(self, rng, buffer: ReplayBuffer, dyn_state: DynamicsState):
         """Round-1 protocol: fixed scan of ``model_updates_per_itr`` Adam
@@ -252,16 +250,14 @@ class MBTrainer:
         val_before = self._valid_loss(buffer, r_valid, dyn_state)
         keys = jax.random.split(r_train, cfg.model_updates_per_itr)
         dyn_state, losses = jax.lax.scan(upd, dyn_state, keys)
-        val_after = self._valid_loss(buffer, r_valid, dyn_state)
+        val_after, fwd_mse_after = self._valid_metrics(buffer, r_valid, dyn_state)
         return dyn_state, {
             "fit/model_loss_first": losses[0],
             "fit/model_loss_last": losses[-1],
             "fit/model_loss_mean": losses.mean(),
             "fit/valid_loss_before": val_before,
             "fit/valid_loss_after": val_after,
-            "fit/valid_fwd_mse_after": self._valid_fwd_mse(
-                buffer, r_valid, dyn_state
-            ),
+            "fit/valid_fwd_mse_after": fwd_mse_after,
         }
 
     def _fit_epochs_impl(self, rng, buffer: ReplayBuffer, dyn_state: DynamicsState):
@@ -342,9 +338,9 @@ class MBTrainer:
             "fit/model_loss_mean": jnp.nanmean(train_losses),
             "fit/valid_loss_before": val0,
             "fit/valid_loss_after": best,
-            "fit/valid_fwd_mse_after": self._valid_fwd_mse(
+            "fit/valid_fwd_mse_after": self._valid_metrics(
                 buffer, r_init, dyn_state
-            ),
+            )[1],
             "fit/epochs_run": ran.sum(),
         }
 

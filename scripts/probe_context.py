@@ -1,0 +1,162 @@
+"""Probing analysis: is the hidden dynamics context linearly decodable
+from the CaDM latent z? (paper §5.3 / SURVEY.md §4.3; VERDICT r3 item 4.)
+
+Loads a trained-model snapshot written by scripts/run_matrix.py
+(results/ckpt/<cell>.pkl), collects fresh on-policy (or random-policy)
+windows in the cell's env family, encodes each env's K-window to z, and
+fits closed-form linear decoders z -> hidden params:
+
+  - continuous targets (mass_scale, damping_scale, pole length, push
+    force...): ridge regression, held-out R² per target.
+  - CrippleAnt leg id: one-hot least squares -> argmax, held-out accuracy
+    vs chance (1/3 on the train legs).
+
+If z never encodes the crippled-leg id, that — not the planner — explains
+CaDM trailing vanilla on cripple_ant's shifted ranges (VERDICT weak #3).
+
+Usage:
+  python scripts/probe_context.py --cell cripple_ant__cadm__s0
+  python scripts/probe_context.py --cell half_cheetah__cadm__s0 --rounds 3
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import pickle
+import sys
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OUT_DIR = os.path.join(
+    os.path.dirname(__file__), "..", "results", "context_probe"
+)
+
+
+def targets_from_params(family: str, params) -> dict:
+    """Per-env decode targets (each an (E,) float array) from the hidden
+    param pytree the env sampled at reset."""
+    p = {f.name: np.asarray(getattr(params, f.name))
+         for f in dataclasses.fields(params)}
+    if family == "cripple_ant":
+        # act_mask (E, nu): recover the crippled leg id from which actuator
+        # group is zeroed (envs/ant.py LEG_ACTUATORS)
+        from cadm_tpu.envs.ant import LEG_ACTUATORS
+
+        mask = p["act_mask"]
+        legs = np.full(mask.shape[0], -1)
+        for leg, acts in enumerate(LEG_ACTUATORS):
+            zeroed = (mask[:, list(acts)] == 0.0).all(axis=1)
+            legs[zeroed] = leg
+        return {"crippled_leg": legs.astype(np.float64)}
+    return {k: v.astype(np.float64) for k, v in p.items() if v.ndim == 1}
+
+
+def ridge_r2(z: np.ndarray, y: np.ndarray, lam: float = 1e-3):
+    """Held-out R² of a ridge decoder z -> y (half/half split)."""
+    n = z.shape[0]
+    idx = np.random.RandomState(0).permutation(n)
+    tr, te = idx[: n // 2], idx[n // 2:]
+    x = np.concatenate([z, np.ones((n, 1))], axis=1)
+    a = x[tr].T @ x[tr] + lam * np.eye(x.shape[1])
+    w = np.linalg.solve(a, x[tr].T @ y[tr])
+    pred = x[te] @ w
+    ss_res = ((y[te] - pred) ** 2).sum()
+    ss_tot = ((y[te] - y[te].mean()) ** 2).sum() + 1e-12
+    return 1.0 - ss_res / ss_tot
+
+
+def onehot_accuracy(z: np.ndarray, labels: np.ndarray, lam: float = 1e-3):
+    """Held-out argmax accuracy of a one-hot least-squares decoder."""
+    classes = np.unique(labels)
+    y = (labels[:, None] == classes[None, :]).astype(np.float64)
+    n = z.shape[0]
+    idx = np.random.RandomState(0).permutation(n)
+    tr, te = idx[: n // 2], idx[n // 2:]
+    x = np.concatenate([z, np.ones((n, 1))], axis=1)
+    a = x[tr].T @ x[tr] + lam * np.eye(x.shape[1])
+    w = np.linalg.solve(a, x[tr].T @ y[tr])
+    pred = classes[np.argmax(x[te] @ w, axis=1)]
+    acc = float((pred == labels[te]).mean())
+    chance = float(
+        max((labels[te] == c).mean() for c in classes)
+    )
+    return acc, chance, len(classes)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cell", required=True,
+                    help="e.g. cripple_ant__cadm__s0 (needs results/ckpt/<cell>.pkl)")
+    ap.add_argument("--rounds", type=int, default=2,
+                    help="collect rounds; samples = rounds * n_envs")
+    ap.add_argument("--random-policy", action="store_true",
+                    help="collect with random actions instead of the planner")
+    ap.add_argument("--mode", type=int, default=0,
+                    help="hidden-param range: 0 train / 1 moderate / 2 extreme")
+    args = ap.parse_args()
+
+    import jax
+
+    from scripts.run_matrix import CKPT_DIR, FAMILY_BASE, MODEL_VARIANTS
+    from cadm_tpu.cli.presets import ExperimentConfig
+
+    family, model, seed_s = args.cell.split("__")
+    ckpt_path = os.path.join(CKPT_DIR, args.cell + ".pkl")
+    with open(ckpt_path, "rb") as f:
+        dyn_state = pickle.load(f)
+
+    kwargs = {**FAMILY_BASE[family], **MODEL_VARIANTS[model]}
+    cfg = ExperimentConfig(**kwargs, seed=int(seed_s[1:]))
+    env, dyn, planner, trainer = cfg.build()
+    if args.mode != 0:
+        # resample env params from the shifted range by re-initializing with
+        # the trainer's eval-mode reset (collect uses mode 0 internally)
+        raise SystemExit("shifted-range probing not wired yet; use --mode 0")
+
+    rng = jax.random.key(1234)
+    env_states, hists, buffer, _ = trainer.init(rng)
+    collect = (
+        trainer._collect_random if args.random_policy else trainer._collect_plan
+    )
+    zs, tgts = [], None
+    for r in range(args.rounds):
+        rng, k = jax.random.split(rng)
+        env_states, hists, buffer, _ = collect(
+            k, env_states, hists, buffer, dyn_state
+        )
+        z = dyn.context_from_history(dyn_state.params, dyn_state.norm, hists)
+        zs.append(np.asarray(z, dtype=np.float64))
+        t = targets_from_params(family, env_states.params)
+        tgts = (
+            t if tgts is None
+            else {k2: np.concatenate([tgts[k2], t[k2]]) for k2 in t}
+        )
+        print(f"[probe-context] round {r}: {zs[-1].shape[0]} windows", flush=True)
+    z = np.concatenate(zs, axis=0)
+    out = {"cell": args.cell, "n_windows": int(z.shape[0]),
+           "z_dim": int(z.shape[1]), "policy":
+           "random" if args.random_policy else "planner", "targets": {}}
+    for name, y in tgts.items():
+        if name == "crippled_leg":
+            acc, chance, k = onehot_accuracy(z, y)
+            out["targets"][name] = {
+                "decoder": "onehot-lstsq", "held_out_accuracy": acc,
+                "majority_chance": chance, "n_classes": k,
+            }
+        else:
+            out["targets"][name] = {
+                "decoder": "ridge", "held_out_r2": float(ridge_r2(z, y)),
+            }
+    os.makedirs(OUT_DIR, exist_ok=True)
+    with open(os.path.join(OUT_DIR, args.cell + ".json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out, indent=2), flush=True)
+
+
+if __name__ == "__main__":
+    main()

