@@ -130,13 +130,21 @@ def main():
             k, env_states, hists, buffer, dyn_state
         )
         z = dyn.context_from_history(dyn_state.params, dyn_state.norm, hists)
-        zs.append(np.asarray(z, dtype=np.float64))
-        t = targets_from_params(family, env_states.params)
+        # drop envs whose window straddles a reset (partial valid): the
+        # encoder consumes zero-padded slots there and the window mixes no
+        # information about the CURRENT episode's params
+        full = np.asarray(hists.valid).min(axis=-1) > 0
+        zs.append(np.asarray(z, dtype=np.float64)[full])
+        t = {
+            k2: v[full] for k2, v in
+            targets_from_params(family, env_states.params).items()
+        }
         tgts = (
             t if tgts is None
             else {k2: np.concatenate([tgts[k2], t[k2]]) for k2 in t}
         )
-        print(f"[probe-context] round {r}: {zs[-1].shape[0]} windows", flush=True)
+        print(f"[probe-context] round {r}: {zs[-1].shape[0]} full windows",
+              flush=True)
     z = np.concatenate(zs, axis=0)
     out = {"cell": args.cell, "n_windows": int(z.shape[0]),
            "z_dim": int(z.shape[1]), "policy":
