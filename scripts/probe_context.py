@@ -98,6 +98,10 @@ def main():
                     help="collect with random actions instead of the planner")
     ap.add_argument("--mode", type=int, default=0,
                     help="hidden-param range: 0 train / 1 moderate / 2 extreme")
+    ap.add_argument("--n-envs", type=int, default=None,
+                    help="override the cell's env batch (CPU probing)")
+    ap.add_argument("--steps", type=int, default=None,
+                    help="override steps_per_itr for the collect rounds")
     args = ap.parse_args()
 
     import jax
@@ -111,6 +115,10 @@ def main():
         dyn_state = pickle.load(f)
 
     kwargs = {**FAMILY_BASE[family], **MODEL_VARIANTS[model]}
+    if args.n_envs:
+        kwargs["n_envs"] = args.n_envs
+    if args.steps:
+        kwargs["steps_per_itr"] = args.steps
     cfg = ExperimentConfig(**kwargs, seed=int(seed_s[1:]))
     env, dyn, planner, trainer = cfg.build()
     if args.mode != 0:
