@@ -121,16 +121,62 @@ def main():
         kwargs["steps_per_itr"] = args.steps
     cfg = ExperimentConfig(**kwargs, seed=int(seed_s[1:]))
     env, dyn, planner, trainer = cfg.build()
-    if args.mode != 0:
-        # resample env params from the shifted range by re-initializing with
-        # the trainer's eval-mode reset (collect uses mode 0 internally)
-        raise SystemExit("shifted-range probing not wired yet; use --mode 0")
 
     rng = jax.random.key(1234)
-    env_states, hists, buffer, _ = trainer.init(rng)
-    collect = (
-        trainer._collect_random if args.random_policy else trainer._collect_plan
-    )
+    if args.mode != 0 or args.random_policy:
+        # self-contained random-policy collector: supports shifted ranges
+        # (mode 1/2 and the held-out crippled leg), mirroring the trainer's
+        # push-history + wipe-on-done bookkeeping
+        import jax.numpy as jnp
+
+        from cadm_tpu.core.types import batched_history
+
+        n_envs = cfg.n_envs
+        t_steps = cfg.steps_per_itr
+
+        @jax.jit
+        def collect_mode(rng):
+            r_reset, r_run = jax.random.split(rng)
+            states = jax.vmap(lambda k: env.reset(k, args.mode))(
+                jax.random.split(r_reset, n_envs)
+            )
+            hists0 = batched_history(dyn.cfg, n_envs)
+
+            def step(carry, k):
+                states, hists = carry
+                obs = jax.vmap(env.observe)(states.params, states.phys)
+                a = jax.random.uniform(
+                    k, (n_envs, env.act_dim), minval=-1.0, maxval=1.0
+                )
+                nstates, nobs, rew, done = jax.vmap(
+                    lambda s, aa: env.step(s, aa, args.mode)
+                )(states, a)
+                hists = dyn.push_history(
+                    dyn_state.params, dyn_state.norm, hists,
+                    obs, nobs - obs, a,
+                )
+                hists = jax.tree.map(
+                    lambda new: jnp.where(
+                        done.reshape((-1,) + (1,) * (new.ndim - 1)),
+                        jnp.zeros_like(new), new,
+                    ),
+                    hists,
+                )
+                return (nstates, hists), None
+
+            keys = jax.random.split(r_run, t_steps)
+            (states, hists), _ = jax.lax.scan(step, (states, hists0), keys)
+            return states, hists
+
+        def collect(k, env_states, hists, buffer, dyn_state):
+            states, hists = collect_mode(k)
+            return states, hists, buffer, None
+
+        env_states = hists = buffer = None
+    else:
+        env_states, hists, buffer, _ = trainer.init(rng)
+        collect = trainer._collect_plan
+
     zs, tgts = [], None
     for r in range(args.rounds):
         rng, k = jax.random.split(rng)
@@ -155,8 +201,9 @@ def main():
               flush=True)
     z = np.concatenate(zs, axis=0)
     out = {"cell": args.cell, "n_windows": int(z.shape[0]),
-           "z_dim": int(z.shape[1]), "policy":
-           "random" if args.random_policy else "planner", "targets": {}}
+           "z_dim": int(z.shape[1]), "mode": args.mode, "policy":
+           "random" if (args.random_policy or args.mode != 0) else "planner",
+           "targets": {}}
     for name, y in tgts.items():
         if name == "crippled_leg":
             acc, chance, k = onehot_accuracy(z, y)
@@ -169,7 +216,8 @@ def main():
                 "decoder": "ridge", "held_out_r2": float(ridge_r2(z, y)),
             }
     os.makedirs(OUT_DIR, exist_ok=True)
-    with open(os.path.join(OUT_DIR, args.cell + ".json"), "w") as f:
+    suffix = "" if args.mode == 0 else f"__mode{args.mode}"
+    with open(os.path.join(OUT_DIR, args.cell + suffix + ".json"), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out, indent=2), flush=True)
 
