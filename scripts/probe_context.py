@@ -102,6 +102,10 @@ def main():
                     help="override the cell's env batch (CPU probing)")
     ap.add_argument("--steps", type=int, default=None,
                     help="override steps_per_itr for the collect rounds")
+    ap.add_argument("--save-arrays", action="store_true",
+                    help="also save raw (z, targets) to <cell>.npz for "
+                         "cross-mode analyses (e.g. where the held-out "
+                         "crippled leg embeds relative to the train legs)")
     args = ap.parse_args()
 
     import jax
@@ -219,6 +223,11 @@ def main():
     suffix = "" if args.mode == 0 else f"__mode{args.mode}"
     with open(os.path.join(OUT_DIR, args.cell + suffix + ".json"), "w") as f:
         json.dump(out, f, indent=2)
+    if args.save_arrays:
+        np.savez(
+            os.path.join(OUT_DIR, args.cell + suffix + ".npz"),
+            z=z, **tgts,
+        )
     print(json.dumps(out, indent=2), flush=True)
 
 
