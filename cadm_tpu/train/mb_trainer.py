@@ -147,9 +147,9 @@ class MBTrainer:
             next_states, obs, reward, done = self._step_collect(
                 env_states, actions
             )
+            bad = env.bad_transition(prev_obs, obs)
             buffer = buffer.append(
-                prev_obs, actions, obs, done, ep_step,
-                bad=env.bad_transition(prev_obs, obs),
+                prev_obs, actions, obs, done, ep_step, bad=bad,
             )
             pushed = model.push_history(
                 dyn_state.params, dyn_state.norm, hists,
@@ -172,7 +172,7 @@ class MBTrainer:
             ret_acc = jnp.where(done, 0.0, ret_acc)
             return (
                 (next_states, hists, buffer, ret_acc, plan_mu),
-                (ep_return, reward),
+                (ep_return, reward, bad.mean()),
             )
 
         keys = jax.random.split(rng, cfg.steps_per_itr)
@@ -180,8 +180,8 @@ class MBTrainer:
             env_states, hists, buffer, jnp.zeros(cfg.n_envs),
             self.planner.init_plan(cfg.n_envs),
         )
-        (env_states, hists, buffer, _, _), (ep_returns, rewards) = jax.lax.scan(
-            step, carry0, keys
+        (env_states, hists, buffer, _, _), (ep_returns, rewards, bad_frac) = (
+            jax.lax.scan(step, carry0, keys)
         )
         finished = jnp.isfinite(ep_returns)
         mean_return = jnp.where(
@@ -194,6 +194,11 @@ class MBTrainer:
             "collect/mean_episode_return": mean_return,
             "collect/mean_step_reward": rewards.mean(),
             "collect/episodes": finished.sum(),
+            # real-env blowup rate: transitions masked out of norm stats /
+            # fit / encoder windows (diagnosis signal for the rigid
+            # families' stability; planner-side blowups are probed offline
+            # by scripts/probe_blowup.py)
+            "collect/bad_transition_frac": bad_frac.mean(),
         }
         return env_states, hists, buffer, metrics
 
