@@ -42,7 +42,10 @@ class ExperimentConfig:
     # model
     model: str = "cadm"           # vanilla | stacked | cadm | rnn | grbal
     ensemble: int = 1             # >1 = PE-TS-style probabilistic ensemble
-    probabilistic: bool = False
+    # None = auto (PETS convention: ensemble members get NLL heads); True =
+    # force NLL on a single member; False = force deterministic-MSE members
+    # even at ensemble>1 (diagnostic control for the NLL-vs-ensemble split)
+    probabilistic: Optional[bool] = None
     hidden: Tuple[int, ...] = (200, 200, 200, 200)
     z_dim: int = 10
     history_k: int = 10
@@ -112,7 +115,8 @@ class ExperimentConfig:
                 act_dim=env.act_dim,
                 hidden=self.hidden,
                 n_members=self.ensemble,
-                probabilistic=self.probabilistic or self.ensemble > 1,
+                probabilistic=(self.ensemble > 1 if self.probabilistic is None
+                               else self.probabilistic),
                 context=context,
                 z_dim=self.z_dim,
                 history_k=self.history_k,
@@ -191,7 +195,8 @@ class ExperimentConfig:
                 act_dim=env.act_dim,
                 hidden=self.hidden,
                 n_members=self.ensemble,
-                probabilistic=self.probabilistic or self.ensemble > 1,
+                probabilistic=(self.ensemble > 1 if self.probabilistic is None
+                               else self.probabilistic),
                 context=context,
                 z_dim=self.z_dim,
                 history_k=self.history_k,

@@ -94,6 +94,22 @@ def test_ppo_cadm_end_to_end():
     assert -4000 < hist[-1]["eval/return_mode0"] < 0
 
 
+def test_probabilistic_tristate():
+    """probabilistic=None auto-follows the PETS convention (ensemble>1 ->
+    NLL heads); an explicit bool overrides it in either direction, so the
+    NLL-vs-ensemble diagnostic controls (1-member NLL, 5-member MSE) are
+    expressible from the same config surface."""
+    for ens, prob, want in [
+        (1, None, False), (5, None, True), (1, True, True), (5, False, False),
+    ]:
+        cfg = ExperimentConfig(
+            env="cartpole", model="cadm", ensemble=ens, probabilistic=prob,
+            n_envs=2, eval_envs=2, hidden=(16,), z_dim=4,
+        )
+        _, model, _, _ = cfg.build()
+        assert model.cfg.probabilistic == want, (ens, prob)
+
+
 def test_ppo_preset_builds_and_cli_flag():
     cfg = PRESETS["hopper_ppo_cadm"]
     assert cfg.trainer == "ppo"
