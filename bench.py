@@ -18,11 +18,54 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
+# The axon sitecustomize dials the TPU relay inside `import jax`; when the
+# relay is wedged (observed 2026-08-17/18: jax.devices() hung for >12h) the
+# import never returns and the driver's bench invocation records nothing.
+# Emit an explicit error JSON instead of hanging forever. SIGALRM fires only
+# if the import stalls; a healthy import (2-40s) cancels it.
+_WATCHDOG = os.environ.get("BENCH_WATCHDOG", "1") != "0"
+_watchdog_timer = None
+
+
+def _arm(stage: str, secs: int) -> None:
+    """(Re)start the stall watchdog. A THREAD, not SIGALRM: the wedge sits
+    inside a blocking C call (the axon relay dial never returns), so a Python
+    signal handler would never get to run — only another thread can still
+    print the error JSON and exit."""
+    global _watchdog_timer
+    if not _WATCHDOG:
+        return
+    if _watchdog_timer is not None:
+        _watchdog_timer.cancel()
+        _watchdog_timer = None
+    if secs <= 0:
+        return
+
+    def _stalled():
+        print(json.dumps({
+            "metric": "halfcheetah_env_steps_per_sec_per_chip", "value": 0,
+            "unit": "steps/sec/chip", "vs_baseline": 0.0,
+            "error": f"bench stalled during {stage} (TPU relay wedged)",
+        }), flush=True)
+        os._exit(3)
+
+    import threading
+
+    _watchdog_timer = threading.Timer(secs, _stalled)
+    _watchdog_timer.daemon = True
+    _watchdog_timer.start()
+
+
+_arm("jax import", int(os.environ.get("BENCH_WATCHDOG_SECS", "300")))
+
 import jax
 import jax.numpy as jnp
+
+_arm("", 0)
 
 
 def _force(out):
@@ -142,6 +185,12 @@ def main():
     ap.add_argument("--smoke", action="store_true")
     args = ap.parse_args()
 
+    # The chip can also wedge after a clean import — in fact the observed
+    # 2026-08-18 wedge hangs at first DEVICE USE, not import (sitecustomize
+    # pre-imports jax, so the script's import is a no-op). Budget the whole
+    # measured run.
+    _arm("benchmark run", int(os.environ.get("BENCH_RUN_WATCHDOG_SECS", "1800")))
+
     if args.smoke:
         n_envs, t = 64, 20
         cem_envs, cands, horizon = 8, 32, 5
@@ -177,6 +226,7 @@ def main():
     # single chip of a data-parallel workload, so compare against the
     # per-chip share of that target (1M/8 = 125k steps/s/chip).
     per_chip_target = 1_000_000 / 8
+    _arm("done", 0)
     print(
         json.dumps(
             {
