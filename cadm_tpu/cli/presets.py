@@ -46,6 +46,9 @@ class ExperimentConfig:
     # force NLL on a single member; False = force deterministic-MSE members
     # even at ensemble>1 (diagnostic control for the NLL-vs-ensemble split)
     probabilistic: Optional[bool] = None
+    # NLL mean-anchor weight for probabilistic members (0 disables); see
+    # DynamicsConfig.mean_anchor for the rationale (round-4 pets_cadm fix)
+    mean_anchor: float = 1.0
     hidden: Tuple[int, ...] = (200, 200, 200, 200)
     z_dim: int = 10
     history_k: int = 10
@@ -123,6 +126,7 @@ class ExperimentConfig:
                 future_m=self.future_m,
                 beta_backward=self.beta_backward,
                 lr=self.lr,
+                mean_anchor=self.mean_anchor,
             )
         )
         planner = MPCPlanner(
@@ -203,6 +207,7 @@ class ExperimentConfig:
                 future_m=self.future_m,
                 beta_backward=self.beta_backward,
                 lr=self.lr,
+                mean_anchor=self.mean_anchor,
             )
         )
         trainer = PPOTrainer(

@@ -53,6 +53,19 @@ class DynamicsConfig:
     lr: float = 1e-3
     grad_clip: float = 10.0
     logvar_penalty: float = 0.01   # PETS bound-tightness penalty
+    # Forward-MEAN anchor for probabilistic members: adds
+    # ``mean_anchor · Σ_dims (f_mean − target)²`` to the NLL. At small data
+    # scales the Gaussian NLL lets the variance head soak up residual error
+    # (inv_var → 0 kills the mean gradient) and the means the planner rolls
+    # out degrade ~4x vs MSE training (round-4 mini-cell decomposition,
+    # notebooks/r4_cpu_minicells.md) — on cripple_ant this deadlocks the
+    # collect→fit bootstrap (CEM never finds a gait from 0.33-MSE means, so
+    # the model never sees gait data; round-3/4 collapse at 40-66 return).
+    # The anchor keeps mean training alive at unit weight exactly when the
+    # NLL's own mean gradient vanishes; a confident NLL (var < 1) still
+    # dominates. Inactive (0-gated) for deterministic members. Documented
+    # deviation from PETS (reference: SURVEY.md §2.1 "Ensemble / PE-TS").
+    mean_anchor: float = 1.0
 
     @property
     def hist_dim(self) -> int:
@@ -337,6 +350,10 @@ class Dynamics:
                 fwd_p, params, norm, mb.obs, mb.act, z_m
             )
             per_step = self._nll(f_mean, f_logvar, target)  # (B, M)
+            if c.probabilistic and c.mean_anchor > 0.0:
+                per_step = per_step + c.mean_anchor * jnp.sum(
+                    (f_mean - target) ** 2, axis=-1
+                )
             if bwd_p is not None:
                 b_mean, b_logvar = self._head_out(
                     bwd_p, params, norm, mb.next_obs, mb.act, z_m

@@ -157,3 +157,41 @@ def test_predict_deterministic_vs_sampled():
     s2 = model.predict(params, norm, fwd0, obs, act, z, jax.random.key(2))
     assert det.shape == (OBS,)
     assert not np.allclose(np.asarray(s1), np.asarray(s2))
+
+
+def test_mean_anchor_keeps_mean_gradient_alive():
+    """The anchor restores mean training when the variance head saturates.
+
+    Round-4 pets_cadm fix: with logvars pinned at their max bound the NLL's
+    mean gradient is exp(-logvar)-suppressed; the anchor term adds an
+    unsuppressed unit-weight MSE path. Check (a) loss decomposition:
+    anchored loss == plain NLL + anchor·Σ(mean-target)², and (b) the mean
+    gradient norm grows with the anchor under inflated variance.
+    """
+    cfg0 = DynamicsConfig(
+        obs_dim=OBS, act_dim=ACT, hidden=(16,), probabilistic=True,
+        n_members=2, mean_anchor=0.0, backward=False,
+    )
+    cfg1 = dataclasses.replace(cfg0, mean_anchor=1.0)
+    m0, m1 = Dynamics(cfg0), Dynamics(cfg1)
+    params = m0.init_params(jax.random.key(0))
+    # inflate variance: pin logvar bounds so every head is maximally unsure
+    params["min_logvar"] = jnp.full((OBS,), 6.0)
+    params["max_logvar"] = jnp.full((OBS,), 6.0)
+    norm = NormStats.identity(OBS, ACT)
+    batch, _ = synthetic_batch(jax.random.key(1), 8)
+    mb = jax.tree.map(lambda x: jnp.stack([x, x]), batch)
+
+    l0, _ = m0.loss(params, norm, mb)
+    l1, _ = m1.loss(params, norm, mb)
+    assert float(l1) > float(l0)  # the anchor adds a positive term
+
+    def mean_grad_norm(model):
+        g = jax.grad(lambda p: model.loss(p, norm, mb)[0])(params)
+        leaves = jax.tree.leaves(g["fwd"])
+        return float(sum(jnp.sum(x**2) for x in leaves))
+
+    g0, g1 = mean_grad_norm(m0), mean_grad_norm(m1)
+    # at var = e^6 the NLL mean gradient is ~exp(-6) suppressed; the anchored
+    # gradient must be orders of magnitude larger
+    assert g1 > 10.0 * g0
