@@ -53,18 +53,25 @@ class DynamicsConfig:
     lr: float = 1e-3
     grad_clip: float = 10.0
     logvar_penalty: float = 0.01   # PETS bound-tightness penalty
-    # Forward-MEAN anchor for probabilistic members: adds
-    # ``mean_anchor · Σ_dims (f_mean − target)²`` to the NLL. At small data
-    # scales the Gaussian NLL lets the variance head soak up residual error
-    # (inv_var → 0 kills the mean gradient) and the means the planner rolls
-    # out degrade ~4x vs MSE training (round-4 mini-cell decomposition,
-    # notebooks/r4_cpu_minicells.md) — on cripple_ant this deadlocks the
-    # collect→fit bootstrap (CEM never finds a gait from 0.33-MSE means, so
-    # the model never sees gait data; round-3/4 collapse at 40-66 return).
-    # The anchor keeps mean training alive at unit weight exactly when the
-    # NLL's own mean gradient vanishes; a confident NLL (var < 1) still
-    # dominates. Inactive (0-gated) for deterministic members. Documented
-    # deviation from PETS (reference: SURVEY.md §2.1 "Ensemble / PE-TS").
+    # Decoupled mean/variance training for probabilistic members
+    # (mean_anchor > 0): the loss becomes
+    #   mean_anchor · Σ_dims (f_mean − target)²            (means: pure MSE)
+    #   + Σ_dims [(sg(f_mean) − target)²·e^{−lv} + lv]     (variance: NLL
+    #                                                       around FROZEN means)
+    # Rationale: the planner rolls out the MEANS, and at research data
+    # scales the joint Gaussian NLL trains them badly in two ways (round-4
+    # mini-cell decomposition, notebooks/r4_cpu_minicells.md): the variance
+    # head absorbs residual error (inv_var → 0 kills the mean gradient),
+    # and per-dim inv_var reweighting lets near-deterministic dims (inv_var
+    # ~e^7) dominate the shared trunk, starving the hard contact dims. A
+    # simple additive anchor (NLL + MSE, this round's first attempt) fixed
+    # cartpole but was gradient-swamped on cripple_ant (fwd MSE stuck at
+    # 0.34 vs 0.08 for pure MSE) — hence the stop_gradient decoupling:
+    # means get exactly the MSE gradient (bootstrap deadlock impossible),
+    # logvars stay calibrated to the actual residuals, TS sampling and the
+    # PETS bound penalty are unchanged. mean_anchor = 0 restores the pure
+    # joint PETS NLL. Deviation documented in PARITY.md (reference:
+    # SURVEY.md §2.1 "Ensemble / PE-TS").
     mean_anchor: float = 1.0
 
     @property
@@ -349,16 +356,21 @@ class Dynamics:
             f_mean, f_logvar = self._head_out(
                 fwd_p, params, norm, mb.obs, mb.act, z_m
             )
-            per_step = self._nll(f_mean, f_logvar, target)  # (B, M)
-            if c.probabilistic and c.mean_anchor > 0.0:
-                per_step = per_step + c.mean_anchor * jnp.sum(
-                    (f_mean - target) ** 2, axis=-1
-                )
+            decouple = c.probabilistic and c.mean_anchor > 0.0
+
+            def head_nll(mean, logvar, tgt):
+                if not decouple:
+                    return self._nll(mean, logvar, tgt)
+                return c.mean_anchor * jnp.sum(
+                    (mean - tgt) ** 2, axis=-1
+                ) + self._nll(jax.lax.stop_gradient(mean), logvar, tgt)
+
+            per_step = head_nll(f_mean, f_logvar, target)  # (B, M)
             if bwd_p is not None:
                 b_mean, b_logvar = self._head_out(
                     bwd_p, params, norm, mb.next_obs, mb.act, z_m
                 )
-                per_step = per_step + c.beta_backward * self._nll(
+                per_step = per_step + c.beta_backward * head_nll(
                     b_mean, b_logvar, -target
                 )
             w = mb.valid / (jnp.sum(mb.valid) + 1e-8)
