@@ -34,6 +34,13 @@ from flax import struct
 from cadm_tpu.core.types import Array, PyTree
 from cadm_tpu.models.nets import gru_apply, gru_init, mlp_apply, mlp_init
 
+# Semantics marker for the probabilistic-member loss, recorded into every
+# matrix cell JSON so mixed-loss cells in RESULTS.md stay distinguishable
+# (rounds 2-4 recorded three regimes under identical-looking configs:
+# pure NLL -> additive NLL+MSE anchor -> decoupled stop-gradient). Bump on
+# any change to head_nll's semantics.
+LOSS_VARIANT = "decoupled-sg-v1"
+
 
 @dataclasses.dataclass(frozen=True)
 class DynamicsConfig:

@@ -228,6 +228,13 @@ def main():
              "program instead of bisecting",
     )
     ap.add_argument(
+        "--itr2-budgets", nargs="*", type=int, default=None,
+        help="run the REAL 2-iteration cell (collect+fit+eval) at each "
+             "budget — the phase that actually reproduces matrix crashes "
+             "(phase=plan on fresh state missed the slim_humanoid fault: "
+             "the chunked-vs-single-block planner program differs)",
+    )
+    ap.add_argument(
         "--health", action="store_true",
         help="exit 0 iff the TPU backend answers a tiny real matmul "
              "(used by matrix_loop.sh between relaunches)",
@@ -250,6 +257,41 @@ def main():
                 for phase in ("plan", "randfit")
             }
         print(f"[probe] diagnose results: {json.dumps(out)}", flush=True)
+        return
+
+    if args.itr2_budgets is not None:
+        results = {}
+        if os.path.exists(OUT_PATH):
+            with open(OUT_PATH) as f:
+                results = json.load(f)
+        for spec in args.probe:
+            family, model = spec.split(":")
+            trials = {}
+            for budget in args.itr2_budgets:
+                trials[str(budget)] = run_trial(
+                    family, model, budget, args.steps, phase="itr2"
+                )
+            key = f"{spec}:itr2"
+            results[key] = {
+                "family": family, "model": model, "phase": "itr2",
+                "trials": trials,
+            }
+            # if exactly the larger single-block budget passes while the
+            # chunked one faults, record the passing budget as the cell's
+            # measured row budget (run_matrix.probed_budget reads it)
+            passing = [int(b) for b, ok in trials.items() if ok]
+            if passing:
+                results[spec] = {
+                    "family": family, "model": model,
+                    "rows_per_env": rows_per_env(family, model),
+                    "max_safe_rows": max(passing),
+                    "boundary_found": True,
+                    "note": "itr2 (real-cell) trials: "
+                            + json.dumps(trials),
+                }
+            with open(OUT_PATH, "w") as f:
+                json.dump(results, f, indent=2)
+        print(f"[probe] wrote {OUT_PATH}", flush=True)
         return
 
     results = {}

@@ -18,6 +18,8 @@ import argparse
 import dataclasses
 import json
 import os
+import signal
+import subprocess
 import sys
 import time
 import traceback
@@ -156,16 +158,32 @@ def probed_budget(family: str, model: str):
     return None
 
 
+def code_version() -> str:
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
 def run_cell(family: str, model: str, seed: int):
     import jax
 
     from cadm_tpu.cli.presets import ExperimentConfig
+    from cadm_tpu.models.dynamics import LOSS_VARIANT
 
     kwargs = {**FAMILY_BASE[family], **MODEL_VARIANTS[model]}
     probed = probed_budget(family, model)
     if probed is not None:
-        prior = kwargs.get("max_parallel_rollouts", 65536)
-        kwargs["max_parallel_rollouts"] = min(prior, probed)
+        # The measured budget OVERRIDES the variant's guess (round-4 took
+        # min() of the two, which forced slim_humanoid pets_cadm down the
+        # chunked lax.map planner path the probe never exercised — the full
+        # 66560-row single block had PASSED the probe while the chunked
+        # 32768 cell crashed the backend 3x).
+        kwargs["max_parallel_rollouts"] = probed
         print(f"[matrix] probed row budget: {kwargs['max_parallel_rollouts']}",
               flush=True)
     cfg = ExperimentConfig(**kwargs, seed=seed, eval_modes=(0, 1, 2))
@@ -181,6 +199,8 @@ def run_cell(family: str, model: str, seed: int):
         "model": model,
         "seed": seed,
         "config": dataclasses.asdict(cfg),
+        "code_version": code_version(),
+        "loss_variant": LOSS_VARIANT,
         "wall_clock_s": wall,
         "history": history,
     }, dyn_state
@@ -203,6 +223,30 @@ def save_snapshot(name: str, dyn_state) -> None:
         pickle.dump(snap, f)
 
 
+# Path of the in-flight cell's .attempts file, for the SIGTERM trap below.
+_CURRENT_ATTEMPT = {"path": None, "before": 0}
+
+
+def _on_sigterm(signum, frame):
+    """External kill (matrix_loop timeout, round-end cut) reaching a
+    RESPONSIVE interpreter: a genuinely wedged backend blocks in a C call
+    and never delivers the signal, so if we get here the in-flight cell was
+    healthy — restore its pre-start attempt count instead of charging a
+    start toward the 3-strikes .crashed budget (round-4 weak #7: a
+    round-end cut left half_cheetah__pets__s0 with a stale .attempts)."""
+    path = _CURRENT_ATTEMPT["path"]
+    if path and os.path.exists(path):
+        before = _CURRENT_ATTEMPT["before"]
+        if before <= 0:
+            os.remove(path)
+        else:
+            with open(path, "w") as f:
+                f.write(str(before))
+        print("[matrix] SIGTERM while healthy; restored attempt counter",
+              flush=True)
+    raise SystemExit(143)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--families", nargs="*", default=DEFAULT_FAMILIES)
@@ -215,6 +259,7 @@ def main():
     ap.add_argument("--list", action="store_true")
     args = ap.parse_args()
 
+    signal.signal(signal.SIGTERM, _on_sigterm)
     os.makedirs(RESULTS_DIR, exist_ok=True)
     # seed-major order: one full family×model sweep completes per seed, so a
     # partial run still yields full matrix coverage at 1 seed
@@ -267,11 +312,14 @@ def main():
             continue
         with open(attempt_path, "w") as f:
             f.write(str(attempts + 1))
+        _CURRENT_ATTEMPT["path"] = attempt_path
+        _CURRENT_ATTEMPT["before"] = attempts
         print(f"[matrix] run: {cell_name(family, model, seed)} "
               f"(start attempt {attempts + 1})", flush=True)
         try:
             result, dyn_state = run_cell(family, model, seed)
         except Exception:
+            _CURRENT_ATTEMPT["path"] = None
             tb = traceback.format_exc()
             print(f"[matrix] FAILED: {cell_name(family, model, seed)}", flush=True)
             traceback.print_exc()
@@ -284,6 +332,7 @@ def main():
                 f.write(tb)
             os.remove(attempt_path)
             continue
+        _CURRENT_ATTEMPT["path"] = None
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(result, f)

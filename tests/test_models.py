@@ -182,9 +182,14 @@ def test_mean_anchor_keeps_mean_gradient_alive():
     batch, _ = synthetic_batch(jax.random.key(1), 8)
     mb = jax.tree.map(lambda x: jnp.stack([x, x]), batch)
 
-    l0, _ = m0.loss(params, norm, mb)
+    l0, met0 = m0.loss(params, norm, mb)
     l1, _ = m1.loss(params, norm, mb)
-    assert float(l1) > float(l0)  # the anchor adds a positive term
+    # exact decomposition: the decoupled loss VALUE equals the plain NLL
+    # plus mean_anchor * the summed-over-dims mean MSE (stop_gradient only
+    # changes gradients, not values). metrics['fwd_mean_mse'] is the
+    # per-dim MEAN of the same weighted error, so x OBS recovers the sum.
+    expected_anchor_term = 1.0 * OBS * float(met0["fwd_mean_mse"])
+    assert np.isclose(float(l1), float(l0) + expected_anchor_term, rtol=1e-5)
 
     def mean_grad_norm(model):
         g = jax.grad(lambda p: model.loss(p, norm, mb)[0])(params)
