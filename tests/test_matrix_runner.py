@@ -117,6 +117,30 @@ def test_python_failure_writes_failed_marker_and_clears_attempts(
     assert calls == []
 
 
+def test_sigterm_restores_attempt_counter(sandbox, monkeypatch):
+    """An external SIGTERM reaching a RESPONSIVE interpreter (matrix_loop
+    timeout on a healthy-but-slow cell, round-end cut) must not charge the
+    in-flight cell a start attempt — only true backend hangs (where the
+    signal never gets delivered) should burn the 3-strikes budget."""
+    ap = _cell(sandbox, ".attempts")
+
+    def dies_by_sigterm(f, m, s):
+        rm._on_sigterm(None, None)
+
+    monkeypatch.setattr(rm, "run_cell", dies_by_sigterm)
+    with pytest.raises(SystemExit) as e:
+        rm.main()
+    assert e.value.code == 143
+    # first start: pre-start count was 0 -> file removed entirely
+    assert not ap.exists()
+
+    # second scenario: one real (hang) attempt already recorded
+    ap.write_text("1")
+    with pytest.raises(SystemExit):
+        rm.main()
+    assert ap.read_text() == "1"  # restored to the pre-start count
+
+
 def test_probed_budget_applies_min(sandbox, monkeypatch, tmp_path):
     with open(rm.PROBE_PATH, "w") as f:
         json.dump({"slim_humanoid:pets_cadm": {"max_safe_rows": 12345}}, f)
