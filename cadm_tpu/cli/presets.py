@@ -88,6 +88,9 @@ class ExperimentConfig:
     fit_protocol: str = "fixed"
     max_epochs: int = 8
     early_stop_patience: int = 2
+    # early-stop signal: "loss" (the model objective) or "fwd_mse" (the
+    # planner-visible forward-mean MSE; see TrainerConfig.early_stop_metric)
+    early_stop_metric: str = "loss"
     epoch_updates_cap: int = 400
     # PPO-only knobs (used when trainer="ppo")
     rollout_len: int = 256
@@ -165,6 +168,7 @@ class ExperimentConfig:
                 fit_protocol=self.fit_protocol,
                 max_epochs=self.max_epochs,
                 early_stop_patience=self.early_stop_patience,
+                early_stop_metric=self.early_stop_metric,
                 epoch_updates_cap=self.epoch_updates_cap,
             ),
             mesh=mesh,
@@ -278,6 +282,7 @@ class ExperimentConfig:
                 fit_protocol=self.fit_protocol,
                 max_epochs=self.max_epochs,
                 early_stop_patience=self.early_stop_patience,
+                early_stop_metric=self.early_stop_metric,
                 epoch_updates_cap=self.epoch_updates_cap,
             ),
             mesh=mesh,

@@ -48,6 +48,19 @@ class TrainerConfig:
     fit_protocol: str = "fixed"     # "fixed" (scan of N updates) | "epochs"
     max_epochs: int = 50            # epoch cap for fit_protocol="epochs"
     early_stop_patience: int = 5    # epochs without valid improvement
+    # Which held-out metric gates early stopping (fit_protocol="epochs"):
+    #   "loss"    — the model's own training objective (reference behavior).
+    #   "fwd_mse" — the forward-head MEAN MSE only. For probabilistic
+    #     members the decoupled objective is MSE + NLL, and the NLL term
+    #     (logvar calibration) both dwarfs and outlasts the mean-MSE
+    #     improvements, so "loss" stops fitting while the planner-visible
+    #     means are still improving (r5 cheetah pets_cadm: epochs_run fell
+    #     8→3 mid-run as data grew, valid fwd MSE rose 0.024→0.054, and
+    #     eval returns halved while the deterministic-ensemble control —
+    #     identical mean objective, no NLL in the stop signal — kept
+    #     improving). The planner only ever consumes means, so "fwd_mse"
+    #     monitors exactly what MPC quality depends on.
+    early_stop_metric: str = "loss"
     min_rel_improve: float = 1e-3   # relative valid-loss improvement bar
     valid_batches: int = 4          # minibatches per valid-loss estimate
     # TPU-scale buffers (thousands of vmapped envs) make a literal full pass
@@ -311,7 +324,8 @@ class MBTrainer:
                 st, losses = jax.lax.scan(
                     upd, st, (jnp.arange(mb_cap), keys[:-1])
                 )
-                val = self._valid_loss(buffer, keys[-1], st)
+                v_loss, v_mse = self._valid_metrics(buffer, keys[-1], st)
+                val = v_mse if cfg.early_stop_metric == "fwd_mse" else v_loss
                 return st, val, jnp.nanmean(losses)
 
             def skip_epoch(st):
@@ -329,23 +343,27 @@ class MBTrainer:
             return (st, best, since, stopped), (val, train_loss)
 
         r_init, r_epochs = jax.random.split(rng)
-        val0 = self._valid_loss(buffer, r_init, dyn_state)
+        v0_loss, v0_mse = self._valid_metrics(buffer, r_init, dyn_state)
+        val0 = v0_mse if cfg.early_stop_metric == "fwd_mse" else v0_loss
         carry0 = (dyn_state, val0, jnp.zeros((), jnp.int32), jnp.zeros((), bool))
         (dyn_state, best, _, _), (vals, train_losses) = jax.lax.scan(
             epoch_body, carry0, jax.random.split(r_epochs, cfg.max_epochs)
         )
         ran = jnp.isfinite(vals)
+        loss_after, mse_after = self._valid_metrics(buffer, r_init, dyn_state)
         return dyn_state, {
             "fit/model_loss_first": train_losses[0],
             "fit/model_loss_last": jnp.where(
                 ran.any(), train_losses[jnp.maximum(ran.sum() - 1, 0)], jnp.nan
             ),
             "fit/model_loss_mean": jnp.nanmean(train_losses),
-            "fit/valid_loss_before": val0,
-            "fit/valid_loss_after": best,
-            "fit/valid_fwd_mse_after": self._valid_metrics(
-                buffer, r_init, dyn_state
-            )[1],
+            # valid_loss_* always report the model's own objective; the
+            # early-stop signal ('best' of the monitored metric) is logged
+            # separately so fwd_mse monitoring doesn't relabel these keys
+            "fit/valid_loss_before": v0_loss,
+            "fit/valid_loss_after": loss_after,
+            "fit/valid_monitored_best": best,
+            "fit/valid_fwd_mse_after": mse_after,
             "fit/epochs_run": ran.sum(),
         }
 

@@ -107,6 +107,21 @@ MODEL_VARIANTS = {
     # looped 'TPU worker process crashed' at 252 envs x 260 rows)
     "pets": dict(model="vanilla", ensemble=5, max_parallel_rollouts=32768),
     "pets_cadm": dict(model="cadm", ensemble=5, max_parallel_rollouts=32768),
+    # A/B on the early-stop signal for probabilistic members (r5): under
+    # the decoupled loss the NLL term dominates the total valid loss, so
+    # "loss"-gated early stop quits while the planner-visible means are
+    # still improving (cheetah pets_cadm degraded 3688 -> ~1000-2400 as
+    # epochs_run fell to 3 and valid fwd MSE rose 0.024 -> 0.054). These
+    # variants gate on the forward-mean MSE instead; _mse16 also doubles
+    # the epoch cap (weak #8: the cap binds most healthy iterations).
+    "pets_cadm_mse": dict(
+        model="cadm", ensemble=5, max_parallel_rollouts=32768,
+        early_stop_metric="fwd_mse",
+    ),
+    "pets_cadm_mse16": dict(
+        model="cadm", ensemble=5, max_parallel_rollouts=32768,
+        early_stop_metric="fwd_mse", max_epochs=16,
+    ),
     # baseline rows (paper Fig.3-5 comparisons); run on selected families:
     #   python scripts/run_matrix.py --families half_cheetah hopper \
     #          --models grbal rebal stacked --seeds 0
