@@ -92,6 +92,9 @@ class ExperimentConfig:
     # planner-visible forward-mean MSE; see TrainerConfig.early_stop_metric)
     early_stop_metric: str = "loss"
     epoch_updates_cap: int = 400
+    # symmetry-group train-batch augmentation (envs exposing symmetry_maps();
+    # see TrainerConfig.symmetry_aug — the r5 CrippleAnt leg_aug variant)
+    symmetry_aug: bool = False
     # PPO-only knobs (used when trainer="ppo")
     rollout_len: int = 256
     ppo_lr: float = 3e-4
@@ -170,6 +173,7 @@ class ExperimentConfig:
                 early_stop_patience=self.early_stop_patience,
                 early_stop_metric=self.early_stop_metric,
                 epoch_updates_cap=self.epoch_updates_cap,
+                symmetry_aug=self.symmetry_aug,
             ),
             mesh=mesh,
         )

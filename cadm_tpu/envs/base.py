@@ -90,6 +90,17 @@ class Env:
         """Early-termination predicate (False for most families)."""
         return jnp.asarray(False)
 
+    def symmetry_maps(self):
+        """Exact symmetry group of the dynamics+reward, for training-time
+        data augmentation (TrainerConfig.symmetry_aug).
+
+        None (default) = no known symmetry. Families with one return
+        {'obs': (G, obs_dim, obs_dim), 'act': (G, act_dim, act_dim)} such
+        that element k maps valid transitions onto valid transitions of the
+        k-relabeled hidden params with the same reward (CrippleAnt: 4-fold
+        leg relabeling, tests/test_ant_symmetry.py)."""
+        return None
+
     # Healthy-magnitude bounds for TRAINING data. The stability guard ends a
     # blown-up episode, but the transition that crosses the threshold (and
     # its immediate ramp) still lands in the replay buffer with |qvel| in

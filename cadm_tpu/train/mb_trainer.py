@@ -27,6 +27,24 @@ from cadm_tpu.planners.mpc import MPCPlanner
 from cadm_tpu.train.buffer import ReplayBuffer, masked_mean_std
 
 
+def _symmetrize_stats(maps: Array, mean: Array, std: Array):
+    """Normalization stats of the group-augmented data distribution.
+
+    The augmented data is the uniform mixture over group elements k of
+    ``maps[k] @ x``. For signed-permutation maps (exactly one ±1 per row)
+    the mixture's per-dim moments are exact:
+      mean' = (1/G) Σ_k maps[k] @ mean
+      E[x²]' = (1/G) Σ_k maps[k]² @ (std² + mean²)     (elementwise square)
+    Without this, a dim whose sign flips under the group would be
+    normalized with the RAW data's (possibly large) mean while the
+    augmented samples are sign-symmetric around zero.
+    """
+    mean_aug = jnp.einsum("gij,j->i", maps, mean) / maps.shape[0]
+    m2_aug = jnp.einsum("gij,j->i", maps**2, std**2 + mean**2) / maps.shape[0]
+    var = jnp.maximum(m2_aug - mean_aug**2, 1e-12)
+    return mean_aug, jnp.sqrt(var)
+
+
 @dataclasses.dataclass(frozen=True)
 class TrainerConfig:
     n_envs: int = 8
@@ -67,6 +85,17 @@ class TrainerConfig:
     # enormous; an epoch is min(one pass over the dataset, this many
     # updates) — early stopping still governs the number of epochs.
     epoch_updates_cap: int = 500
+    # Symmetry-group data augmentation (r5 `leg_aug`): each TRAIN segment is
+    # transformed by a uniformly random element of the env's exact symmetry
+    # group (env.symmetry_maps(); CrippleAnt: 4-fold leg relabeling,
+    # property-tested against the real simulator in tests/test_ant_symmetry).
+    # Makes the held-out crippled leg in-distribution for encoder/dynamics
+    # training WITHOUT touching episode protocol or eval (valid batches and
+    # collect stay raw; norm stats are group-symmetrized so augmented dims
+    # normalize consistently). Motivation: the matrix-scale context probe
+    # showed the unaugmented encoder maps 100% of held-out leg-3 windows
+    # onto "leg 0 crippled" (notebooks/cripple_ant_context_probe.md).
+    symmetry_aug: bool = False
 
 
 class MBTrainer:
@@ -92,6 +121,18 @@ class MBTrainer:
         self._collect_plan = jax.jit(
             lambda *a: self._collect(*a, random_actions=False)
         )
+        self._sym_maps = None
+        if config.symmetry_aug:
+            maps = env.symmetry_maps()
+            if maps is None:
+                raise ValueError(
+                    f"symmetry_aug=True but {type(env).__name__} exposes no "
+                    "symmetry_maps()"
+                )
+            self._sym_maps = {
+                "obs": jnp.asarray(maps["obs"], jnp.float32),   # (G, d, d)
+                "act": jnp.asarray(maps["act"], jnp.float32),   # (G, a, a)
+            }
         fit_impl = {
             "fixed": self._fit_impl,
             "epochs": self._fit_epochs_impl,
@@ -221,18 +262,56 @@ class MBTrainer:
         om, os_ = masked_mean_std(obs, mask)
         am, as_ = masked_mean_std(act, mask)
         dm, ds = masked_mean_std(dobs, mask)
+        if self._sym_maps is not None:
+            om, os_ = _symmetrize_stats(self._sym_maps["obs"], om, os_)
+            am, as_ = _symmetrize_stats(self._sym_maps["act"], am, as_)
+            dm, ds = _symmetrize_stats(self._sym_maps["obs"], dm, ds)
         return dataclasses.replace(
             dyn_state, norm=NormStats(om, os_, am, as_, dm, ds)
         )
 
+    def _augment(self, batch, rng):
+        """Transform each TRAIN segment by a random group element.
+
+        The per-sample element applies to every obs-like and act-like leaf
+        of the segment (history AND future share one element — they are one
+        trajectory). precision='highest' on the small matmuls: the default
+        f32 dot on this backend accumulates at bf16 grade (~1e-3 relative,
+        measured), which would inject systematic noise into every target.
+        """
+        g = self._sym_maps["obs"].shape[0]
+        kidx = jax.random.randint(rng, batch.valid.shape[:-1], 0, g)
+        a_o = self._sym_maps["obs"][kidx]       # (..., d, d)
+        a_a = self._sym_maps["act"][kidx]       # (..., a, a)
+
+        def app(x, m):
+            return jnp.einsum(
+                "...td,...od->...to", x, m, precision=jax.lax.Precision.HIGHEST
+            )
+
+        return dataclasses.replace(
+            batch,
+            hist_obs=app(batch.hist_obs, a_o),
+            hist_dobs=app(batch.hist_dobs, a_o),
+            hist_act=app(batch.hist_act, a_a),
+            obs=app(batch.obs, a_o),
+            act=app(batch.act, a_a),
+            next_obs=app(batch.next_obs, a_o),
+        )
+
     def _sample(self, buffer, rng, split):
-        return buffer.sample_segments(
-            rng,
+        r_seg, r_aug = jax.random.split(rng)
+        batch = buffer.sample_segments(
+            r_seg,
             (self.model.cfg.n_members, self.cfg.batch_size),
             self.model.cfg.history_k,
             self.model.cfg.future_m,
             split=split,
         )
+        # valid batches stay raw: early stopping measures true-task quality
+        if self._sym_maps is not None and split == "train":
+            batch = self._augment(batch, r_aug)
+        return batch
 
     def _valid_metrics(self, buffer, rng, dyn_state):
         """(mean valid loss, mean forward-MEAN MSE) over ``valid_batches``

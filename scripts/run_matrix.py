@@ -122,6 +122,15 @@ MODEL_VARIANTS = {
         model="cadm", ensemble=5, max_parallel_rollouts=32768,
         early_stop_metric="fwd_mse", max_epochs=16,
     ),
+    # leg-symmetry train-batch augmentation (r5): CrippleAnt only — makes
+    # the held-out crippled leg in-distribution for encoder/dynamics
+    # training via the env's exact 4-fold relabeling symmetry
+    # (tests/test_ant_symmetry.py; notebooks/cripple_ant_context_probe.md)
+    "cadm_aug": dict(model="cadm", ensemble=1, symmetry_aug=True),
+    "pets_cadm_aug": dict(
+        model="cadm", ensemble=5, max_parallel_rollouts=32768,
+        symmetry_aug=True,
+    ),
     # baseline rows (paper Fig.3-5 comparisons); run on selected families:
     #   python scripts/run_matrix.py --families half_cheetah hopper \
     #          --models grbal rebal stacked --seeds 0
