@@ -49,6 +49,9 @@ class ExperimentConfig:
     # NLL mean-anchor weight for probabilistic members (0 disables); see
     # DynamicsConfig.mean_anchor for the rationale (round-4 pets_cadm fix)
     mean_anchor: float = 1.0
+    # detach the logvar head from the trunk (opt-in r5 variant; see
+    # DynamicsConfig.detach_logvar_trunk)
+    detach_logvar_trunk: bool = False
     hidden: Tuple[int, ...] = (200, 200, 200, 200)
     z_dim: int = 10
     history_k: int = 10
@@ -133,6 +136,7 @@ class ExperimentConfig:
                 beta_backward=self.beta_backward,
                 lr=self.lr,
                 mean_anchor=self.mean_anchor,
+                detach_logvar_trunk=self.detach_logvar_trunk,
             )
         )
         planner = MPCPlanner(
@@ -216,6 +220,7 @@ class ExperimentConfig:
                 beta_backward=self.beta_backward,
                 lr=self.lr,
                 mean_anchor=self.mean_anchor,
+                detach_logvar_trunk=self.detach_logvar_trunk,
             )
         )
         trainer = PPOTrainer(

@@ -80,6 +80,18 @@ class DynamicsConfig:
     # joint PETS NLL. Deviation documented in PARITY.md (reference:
     # SURVEY.md §2.1 "Ensemble / PE-TS").
     mean_anchor: float = 1.0
+    # Detach the logvar half of the final layer from the trunk (opt-in,
+    # r5): even with the decoupled loss, NLL gradients flow through the
+    # logvar columns into EVERY trunk weight the means depend on. Both
+    # cheetah PE-TS+CaDM seeds degraded mid-run with the NLL and the
+    # forward-mean MSE crashing TOGETHER (valid loss −80 → −12, MSE
+    # 0.025 → 0.33) while the deterministic-ensemble control — identical
+    # mean objective, zero NLL gradient anywhere — kept improving, which
+    # implicates a variance-gradient surge through the shared trunk. With
+    # this flag the logvar path reads stop_gradient(trunk features): means
+    # train exactly like the deterministic control; only the final-layer
+    # logvar columns (+ the PETS bound params) calibrate the variances.
+    detach_logvar_trunk: bool = False
 
     @property
     def hist_dim(self) -> int:
@@ -294,10 +306,34 @@ class Dynamics:
         nx = (x_in - norm.obs_mean) / norm.obs_std
         na = (act - norm.act_mean) / norm.act_std
         inp = jnp.concatenate([nx, na, z], axis=-1)
-        out = mlp_apply(head_params, inp)
+        if c.probabilistic and c.detach_logvar_trunk:
+            # value-identical to the fused apply; gradient-blocked on the
+            # logvar -> trunk path (see DynamicsConfig.detach_logvar_trunk)
+            from cadm_tpu.models.nets import swish
+
+            feats = inp
+            for layer in head_params[:-1]:
+                feats = swish(
+                    jnp.dot(feats, layer["w"],
+                            preferred_element_type=jnp.float32) + layer["b"]
+                )
+            last = head_params[-1]
+            d = last["w"].shape[-1] // 2
+            mean = jnp.dot(
+                feats, last["w"][:, :d],
+                preferred_element_type=jnp.float32,
+            ) + last["b"][:d]
+            logvar = jnp.dot(
+                jax.lax.stop_gradient(feats), last["w"][:, d:],
+                preferred_element_type=jnp.float32,
+            ) + last["b"][d:]
+            out = None
+        else:
+            out = mlp_apply(head_params, inp)
         if not c.probabilistic:
             return out, None
-        mean, logvar = jnp.split(out, 2, axis=-1)
+        if out is not None:
+            mean, logvar = jnp.split(out, 2, axis=-1)
         # PETS soft bounds: keep logvar inside learned [min, max].
         logvar = params["max_logvar"] - jax.nn.softplus(
             params["max_logvar"] - logvar

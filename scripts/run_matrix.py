@@ -122,6 +122,14 @@ MODEL_VARIANTS = {
         model="cadm", ensemble=5, max_parallel_rollouts=32768,
         early_stop_metric="fwd_mse", max_epochs=16,
     ),
+    # trunk-detached variance head (r5): if the _mse gate alone does not
+    # stop the mid-run degradation, the remaining mechanism is NLL
+    # gradients reaching the shared trunk through the logvar columns - this
+    # variant blocks that path entirely (DynamicsConfig.detach_logvar_trunk)
+    "pets_cadm_dv": dict(
+        model="cadm", ensemble=5, max_parallel_rollouts=32768,
+        early_stop_metric="fwd_mse", detach_logvar_trunk=True,
+    ),
     # leg-symmetry train-batch augmentation (r5): CrippleAnt only — makes
     # the held-out crippled leg in-distribution for encoder/dynamics
     # training via the env's exact 4-fold relabeling symmetry

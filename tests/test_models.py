@@ -200,3 +200,43 @@ def test_mean_anchor_keeps_mean_gradient_alive():
     # at var = e^6 the NLL mean gradient is ~exp(-6) suppressed; the anchored
     # gradient must be orders of magnitude larger
     assert g1 > 10.0 * g0
+
+
+def test_detach_logvar_trunk_value_identical_gradient_isolated():
+    """detach_logvar_trunk must not change any VALUE (mean or logvar) and
+    must block exactly the logvar->trunk gradient path."""
+    cfg0 = DynamicsConfig(
+        obs_dim=OBS, act_dim=ACT, hidden=(16, 16), probabilistic=True,
+        n_members=1, backward=False,
+    )
+    cfg1 = dataclasses.replace(cfg0, detach_logvar_trunk=True)
+    m0, m1 = Dynamics(cfg0), Dynamics(cfg1)
+    params = m0.init_params(jax.random.key(0))
+    norm = NormStats.identity(OBS, ACT)
+    obs = jax.random.normal(jax.random.key(1), (7, OBS))
+    act = jax.random.normal(jax.random.key(2), (7, ACT))
+    z = jnp.zeros((7, 0))
+    fwd0 = jax.tree.map(lambda x: x[0], params["fwd"])
+
+    mean0, lv0 = m0._head_out(fwd0, params, norm, obs, act, z)
+    mean1, lv1 = m1._head_out(fwd0, params, norm, obs, act, z)
+    assert np.allclose(np.asarray(mean0), np.asarray(mean1), atol=1e-6)
+    assert np.allclose(np.asarray(lv0), np.asarray(lv1), atol=1e-6)
+
+    def logvar_sum(model):
+        def f(p):
+            fwd = jax.tree.map(lambda x: x[0], p["fwd"])
+            _, lv = model._head_out(fwd, p, norm, obs, act, z)
+            return jnp.sum(lv)
+        return jax.grad(f)(params)
+
+    g0, g1 = logvar_sum(m0), logvar_sum(m1)
+    # detach: zero logvar gradient into every trunk (non-final) layer...
+    for layer in g1["fwd"][:-1]:
+        assert float(jnp.abs(layer["w"]).max()) == 0.0
+    # ...but the fused head DOES leak logvar gradient into the trunk
+    assert float(jnp.abs(g0["fwd"][0]["w"]).max()) > 0.0
+    # the final layer's logvar columns still train under detach
+    assert float(jnp.abs(g1["fwd"][-1]["w"][..., OBS:]).max()) > 0.0
+    # and its mean columns receive no gradient from a logvar-only loss
+    assert float(jnp.abs(g1["fwd"][-1]["w"][..., :OBS]).max()) == 0.0
