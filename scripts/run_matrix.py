@@ -130,6 +130,16 @@ MODEL_VARIANTS = {
         model="cadm", ensemble=5, max_parallel_rollouts=32768,
         early_stop_metric="fwd_mse", detach_logvar_trunk=True,
     ),
+    # the same two fixes for the no-context PE-TS baseline (cheetah s1
+    # collapsed to 365/175/102 under the stock loss-gated protocol)
+    "pets_mse": dict(
+        model="vanilla", ensemble=5, max_parallel_rollouts=32768,
+        early_stop_metric="fwd_mse",
+    ),
+    "pets_dv": dict(
+        model="vanilla", ensemble=5, max_parallel_rollouts=32768,
+        early_stop_metric="fwd_mse", detach_logvar_trunk=True,
+    ),
     # leg-symmetry train-batch augmentation (r5): CrippleAnt only — makes
     # the held-out crippled leg in-distribution for encoder/dynamics
     # training via the env's exact 4-fold relabeling symmetry
