@@ -194,9 +194,18 @@ def probed_budget(family: str, model: str):
         return None
     with open(PROBE_PATH) as f:
         probes = json.load(f)
-    res = probes.get(f"{family}:{model}")
-    if res and res.get("max_safe_rows", 0) > 0:
-        return int(res["max_safe_rows"])
+    keys = [f"{family}:{model}"]
+    # Ensemble variants (pets_cadm_dv/_aug/_mse...) share pets_cadm's fault
+    # mechanism — the chunked TS1 planner path at the family's row count —
+    # which loss/head knobs don't change, so they inherit its probed budget
+    # (r5i: slim_humanoid pets_cadm_dv crashed twice on the 32768 chunked
+    # path the pets_cadm probe had already bisected as faulting).
+    if MODEL_VARIANTS.get(model, {}).get("ensemble", 1) > 1:
+        keys.append(f"{family}:pets_cadm")
+    for key in keys:
+        res = probes.get(key)
+        if res and res.get("max_safe_rows", 0) > 0:
+            return int(res["max_safe_rows"])
     return None
 
 

@@ -150,3 +150,23 @@ def test_probed_budget_applies_min(sandbox, monkeypatch, tmp_path):
     with open(rm.PROBE_PATH, "w") as f:
         json.dump({"slim_humanoid:pets_cadm": {"max_safe_rows": 0}}, f)
     assert rm.probed_budget("slim_humanoid", "pets_cadm") is None
+
+
+def test_probed_budget_ensemble_fallback(sandbox, monkeypatch, tmp_path):
+    """Ensemble variants inherit the family's pets_cadm probe: the fault is
+    the chunked TS1 planner path at the family's row count, not the loss or
+    head knobs (r5i: slim pets_cadm_dv crashed twice on the 32768 path the
+    pets_cadm probe had bisected as faulting)."""
+    with open(rm.PROBE_PATH, "w") as f:
+        json.dump({"slim_humanoid:pets_cadm": {"max_safe_rows": 66560}}, f)
+    for variant in ("pets_cadm_dv", "pets_cadm_aug", "pets_cadm_mse",
+                    "pets", "pets_dv"):
+        assert rm.probed_budget("slim_humanoid", variant) == 66560, variant
+    # non-ensemble variants do NOT inherit (their planner path never faults)
+    assert rm.probed_budget("slim_humanoid", "cadm") is None
+    assert rm.probed_budget("slim_humanoid", "vanilla") is None
+    # an exact per-variant probe still wins over the fallback
+    with open(rm.PROBE_PATH, "w") as f:
+        json.dump({"slim_humanoid:pets_cadm": {"max_safe_rows": 66560},
+                   "slim_humanoid:pets_cadm_dv": {"max_safe_rows": 11111}}, f)
+    assert rm.probed_budget("slim_humanoid", "pets_cadm_dv") == 11111
